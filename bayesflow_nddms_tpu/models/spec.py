@@ -1,0 +1,166 @@
+"""Declarative model specifications.
+
+The reference repo defines each model as a standalone script repeating the
+same prior/simulator/configurator skeleton (~40 scripts, see e.g.
+``/root/reference/basic_ddm_dc.py:50-160``). Here a model is a single
+``ModelSpec``: named priors + a trial-parameter map + an observation map,
+all pure JAX and batch-aware, consumed by one shared simulator and one
+shared amortizer.
+
+Shapes convention: ``theta`` is a dict of ``(B,)`` parameter arrays; trial
+maps return ``(B, 1)`` (shared across trials) or ``(B, N)`` (trial-level
+variability) arrays that broadcast inside the simulator; observation maps
+return ``(B, N, C)`` channel stacks. ``B`` = datasets, ``N`` = trials.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.ddm_sim import first_passage
+from ..utils.dists import Dist
+
+Array = jax.Array
+Theta = Dict[str, Array]
+
+
+class TrialParams(NamedTuple):
+    """Per-trial core DDM parameters, each broadcastable to (B, N)."""
+
+    drift: Array
+    boundary: Array
+    beta: Array
+    ndt: Array
+    dc: Array
+
+
+TrialFn = Callable[[Array, Theta, int], TrialParams]
+# obs_fn(key, theta, trial_params, t_dec(B,N), choice(B,N) int8) -> (B,N,C)
+ObsFn = Callable[[Array, Theta, TrialParams, Array, Array], Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """A generative model: priors + trial map + observation map."""
+
+    name: str
+    param_names: Tuple[str, ...]
+    prior: Tuple[Dist, ...]
+    trial_fn: TrialFn
+    obs_fn: ObsFn
+    n_channels: int = 2
+    dt: float = 0.01
+    max_steps: int = 400
+    n_min: int = 60     # prior over number of trials (basic_ddm_dc.py:50-52)
+    n_max: int = 300
+    summary_dim: int = 32   # summary-net width hint (dc2 variant uses 64,
+                            # retired_models/single_trial_alpha_dc2.py:284)
+    doc: str = dataclasses.field(default="", compare=False)
+    # Applied to the stacked independent draws — supports dependent priors
+    # like gamma ~ U(0, 1/std_alpha) (retired_models/single_trial_alpha_mean
+    # .py:76). When set, prior_log_prob refers to the *raw* (pre-transform)
+    # space and must not be used for MCMC.
+    prior_transform: Callable[[Array], Array] | None = None
+    # Full replacement for the default EM first-passage observation pipeline
+    # (used by the evidence-path family, which records the accumulation path).
+    # Signature: (key, theta(B,P), n_trials, active(B,N)|None) -> (B,N,C).
+    custom_simulate: Callable | None = None
+
+    def __post_init__(self):
+        assert len(self.param_names) == len(self.prior)
+
+    @property
+    def n_params(self) -> int:
+        return len(self.param_names)
+
+    # ---- priors -----------------------------------------------------------
+
+    def sample_prior(self, key: Array, batch: int) -> Array:
+        """Draw (batch, n_params) from the independent marginal priors."""
+        keys = jax.random.split(key, self.n_params)
+        cols = [d.sample(k, (batch,)) for d, k in zip(self.prior, keys)]
+        theta = jnp.stack(cols, axis=-1)
+        if self.prior_transform is not None:
+            theta = self.prior_transform(theta)
+        return theta
+
+    def prior_log_prob(self, theta: Array) -> Array:
+        """Sum of marginal log-densities, theta (..., n_params) -> (...)."""
+        lps = [d.log_prob(theta[..., i]) for i, d in enumerate(self.prior)]
+        return sum(lps)
+
+    def prior_moments(self) -> Tuple[Array, Array]:
+        """Analytic (mean, std) per parameter — used to standardize the flow
+        inputs (the reference leaves this as a TODO, basic_ddm_dc.py:15)."""
+        m = jnp.array([d.mean for d in self.prior], jnp.float32)
+        s = jnp.array([d.std for d in self.prior], jnp.float32)
+        return m, s
+
+    def theta_dict(self, theta: Array) -> Theta:
+        return {n: theta[..., i] for i, n in enumerate(self.param_names)}
+
+    # ---- simulation -------------------------------------------------------
+
+    def simulate(self, key: Array, theta: Array, n_trials: int,
+                 active: Array | None = None, chunk: int = 50) -> Array:
+        """Simulate (B, n_trials, n_channels) observations for theta (B, P).
+
+        ``active`` is an optional (B, n_trials) bool mask: padded trials are
+        skipped by the simulator and must be masked downstream.
+        """
+        if self.custom_simulate is not None:
+            data = self.custom_simulate(key, theta, n_trials, active)
+            if active is not None:
+                data = jnp.where(active[..., None], data, 0.0)
+            return data
+        k_trial, k_walk, k_obs = jax.random.split(key, 3)
+        th = self.theta_dict(theta)
+        trial = self.trial_fn(k_trial, th, n_trials)
+        fp = first_passage(
+            k_walk, trial.drift, trial.boundary, trial.beta, trial.dc,
+            shape=(theta.shape[0], n_trials),
+            dt=self.dt, max_steps=self.max_steps, chunk=chunk, active=active)
+        t_dec = fp.steps.astype(jnp.float32) * self.dt
+        data = self.obs_fn(k_obs, th, trial, t_dec, fp.choice)
+        if active is not None:
+            data = jnp.where(active[..., None], data, 0.0)
+        return data
+
+
+def sample_n_trials(key: Array, spec: ModelSpec, batch: int) -> Array:
+    """Per-dataset random trial count N ~ U{n_min..n_max} (prior_N,
+    basic_ddm_dc.py:50-52). Returned as (batch,) int32."""
+    return jax.random.randint(key, (batch,), spec.n_min, spec.n_max + 1)
+
+
+def trial_mask(n: Array, n_pad: int) -> Array:
+    """(B,) trial counts -> (B, n_pad) bool activity mask."""
+    idx = jnp.arange(n_pad, dtype=jnp.int32)[None, :]
+    return idx < n[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "batch", "n_pad"))
+def generate_training_batch(spec: ModelSpec, key: Array, batch: int,
+                            n_pad: int | None = None):
+    """One fused on-device draw of (theta, data, mask, log_n).
+
+    Replaces the reference's CPU-side ``GenerativeModel`` + ``configurator``
+    round trip (``basic_ddm_dc.py:130-160``): priors, trial counts, the EM
+    walks, and the log-N conditioning vector are all produced inside one jit.
+    Unlike the reference (one shared N per batch, recompile-hostile on TPU),
+    every dataset gets its own N and padding is masked.
+    """
+    if n_pad is None:
+        n_pad = spec.n_max
+    k_theta, k_n, k_sim = jax.random.split(key, 3)
+    theta = spec.sample_prior(k_theta, batch)
+    n = sample_n_trials(k_n, spec, batch)
+    mask = trial_mask(n, n_pad)
+    data = spec.simulate(k_sim, theta, n_pad, active=mask)
+    log_n = jnp.log(n.astype(jnp.float32))[:, None]
+    return theta, data, mask, log_n

@@ -1,0 +1,650 @@
+"""The model zoo: every model family of the reference repo as declarative specs.
+
+The reference defines each of these as a ~400-1900-line standalone script
+(active scripts at repo root, 21 more under ``retired_models/``). Here each
+is a ``ModelSpec`` built from small family builders. Reference citations are
+given per model. All specs share the TPU simulator in ``ops/ddm_sim.py``.
+
+Channel conventions follow the reference:
+  * ``basic_*`` models emit ``(rt, choice)`` with rt = decision time + ndt
+    (``basic_ddm_dc.py:103-112``); choice 0 encodes a missing response.
+  * ``single_trial_*`` models emit signed choice-RT in channel 0
+    (+(ter+rt) upper / -(ter+rt) lower / 0 missing,
+    ``single_trial_alpha_not_scaled.py:136-142``) plus covariate channels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import dists
+from ..utils.dists import trunc_normal_positive
+from .spec import ModelSpec, TrialParams
+
+Array = jax.Array
+
+_REGISTRY: dict[str, ModelSpec] = {}
+
+
+def register(spec: ModelSpec) -> ModelSpec:
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def get_model(name: str) -> ModelSpec:
+    return _REGISTRY[name]
+
+
+def list_models() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Shared prior marginals (basic_ddm_dc.py:62-80 and variants)
+# ---------------------------------------------------------------------------
+
+P_DRIFT = dists.normal(0.0, 2.0)
+P_BOUND = dists.truncnorm(1.0, 0.5, 0.0, 10.0)
+P_BETA = dists.beta(2.0, 2.0)
+P_NDT = dists.truncnorm(0.5, 0.25, 0.0, 1.5)
+P_DC = P_BOUND                                  # dc ~ TN(1,.5,[0,10])
+P_TRIAL_SD = dists.truncnorm(1.0, 0.5, 0.0, 3.0)  # eta / std_alpha / std_dc
+P_SIGMA = dists.uniform(0.0, 5.0)
+P_LOADING = dists.normal(0.0, 1.0)
+
+
+def _col(x: Array) -> Array:
+    """(B,) -> (B,1) for broadcasting against (B,N) trial arrays."""
+    return x[:, None]
+
+
+def _signed_choicert(th, t_dec, choice):
+    """choicert = sign * (ndt + decision time), 0 when missing
+    (single_trial_alpha_not_scaled.py:136-142)."""
+    c = choice.astype(jnp.float32)
+    return c * (_col(th["ter"]) + t_dec)
+
+
+def _noisy(key, mean, sd, shape):
+    return mean + sd * jax.random.normal(key, shape)
+
+
+# ---------------------------------------------------------------------------
+# Family A: basic models, channels (rt, choice)
+# ---------------------------------------------------------------------------
+
+def _make_basic(name, param_names, prior, trial_fn, cite):
+    def obs_fn(key, th, trial, t_dec, choice):
+        rt = t_dec + _col(th["ter"])  # rt includes ndt even when missing
+        return jnp.stack([rt, choice.astype(jnp.float32)], axis=-1)
+
+    spec = ModelSpec(name=name, param_names=param_names, prior=prior,
+                     trial_fn=trial_fn, obs_fn=obs_fn, n_channels=2, doc=cite)
+    return register(spec)
+
+
+def _trial_fixed(key, th, n):
+    """All trials share the dataset-level parameters."""
+    one = jnp.ones((th["drift"].shape[0], 1), jnp.float32)
+    dc = th.get("dc")
+    return TrialParams(
+        drift=_col(th["drift"]), boundary=_col(th["alpha"]),
+        beta=_col(th["beta"]), ndt=_col(th["ter"]),
+        dc=_col(dc) if dc is not None else one)
+
+
+BASIC_DDM = _make_basic(
+    "basic_ddm", ("drift", "alpha", "beta", "ter"),
+    (P_DRIFT, P_BOUND, P_BETA, P_NDT), _trial_fixed,
+    "Plain 4-param DDM, dc fixed at 1 (retired_models/basic_ddm.py:62-80).")
+
+BASIC_DDM_DC = _make_basic(
+    "basic_ddm_dc", ("drift", "alpha", "beta", "ter", "dc"),
+    (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_DC), _trial_fixed,
+    "dcDDM: diffusion coefficient free (basic_ddm_dc.py:62-125).")
+
+
+def _trial_eta_dc(key, th, n):
+    """Trial-level drift ~ N(mu_drift, eta)
+    (retired_models/basic_ddm_eta_dc.py:81-107)."""
+    B = th["mu_drift"].shape[0]
+    drift = _noisy(key, _col(th["mu_drift"]), _col(th["eta"]), (B, n))
+    return TrialParams(drift=drift, boundary=_col(th["alpha"]),
+                       beta=_col(th["beta"]), ndt=_col(th["ter"]),
+                       dc=_col(th["dc"]))
+
+
+BASIC_DDM_ETA_DC = _make_basic(
+    "basic_ddm_eta_dc", ("mu_drift", "alpha", "beta", "ter", "eta", "dc"),
+    (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC), _trial_eta_dc,
+    "dcDDM + trial drift variability (retired_models/basic_ddm_eta_dc.py).")
+
+
+# ---------------------------------------------------------------------------
+# Family B: single-trial boundary models (the flagship family)
+# ---------------------------------------------------------------------------
+
+def _trial_alpha(key, th, n, sd_key="std_alpha"):
+    """Trial boundary ~ N(mu_alpha, std_alpha) truncated > 0
+    (single_trial_alpha_not_scaled.py:113-116)."""
+    B = th["mu_alpha"].shape[0]
+    bound = trunc_normal_positive(
+        key, _col(th["mu_alpha"]), _col(th[sd_key]), (B, n))
+    return TrialParams(drift=_col(th["drift"]), boundary=bound,
+                       beta=_col(th["beta"]), ndt=_col(th["ter"]),
+                       dc=_col(th["dc"]))
+
+
+def _make_alpha_variant(name, covariate, cite, param_names=None, prior=None,
+                        sd_key="std_alpha"):
+    """covariate(key, th, bound_trial) -> (B, N) external-data channel."""
+    if param_names is None:
+        param_names = ("drift", "mu_alpha", "beta", "ter", "std_alpha",
+                       "dc", "sigma1")
+        prior = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC, P_SIGMA)
+
+    def trial_fn(key, th, n):
+        return _trial_alpha(key, th, n, sd_key=sd_key)
+
+    def obs_fn(key, th, trial, t_dec, choice):
+        choicert = _signed_choicert(th, t_dec, choice)
+        ext = covariate(key, th, trial.boundary)
+        return jnp.stack([choicert, ext], axis=-1)
+
+    spec = ModelSpec(name=name, param_names=param_names, prior=prior,
+                     trial_fn=trial_fn, obs_fn=obs_fn, n_channels=2, doc=cite)
+    return register(spec)
+
+
+def _cov_raw(key, th, bound):
+    # extdata1 ~ N(1*bound_trial, sigma1) (single_trial_alpha_not_scaled.py:134)
+    return _noisy(key, bound, _col(th["sigma1"]), bound.shape)
+
+
+def _cov_standardized(key, th, bound):
+    # analytically standardized (retired_models/single_trial_alpha.py:110-114)
+    raw = _noisy(key, bound, _col(th["sigma1"]), bound.shape)
+    var = th["std_alpha"] ** 2 + th["sigma1"] ** 2
+    return (raw - _col(th["mu_alpha"])) / jnp.sqrt(_col(var))
+
+
+def _cov_centered(key, th, bound):
+    # mean-centered (retired_models/single_trial_alpha_standard.py:113-117)
+    return _noisy(key, bound - _col(th["mu_alpha"]), _col(th["sigma1"]),
+                  bound.shape)
+
+
+def _cov_centered_fixed(key, th, bound):
+    # centered at -1 (retired_models/single_trial_alpha_fixed.py:111-113)
+    return _noisy(key, bound - 1.0, _col(th["sigma1"]), bound.shape)
+
+
+def _cov_scaled(key, th, bound):
+    # free loading gamma (retired_models/single_trial_alpha_scaled.py:114-115)
+    return _noisy(key, _col(th["gamma"]) * bound, _col(th["sigma1"]),
+                  bound.shape)
+
+
+def _cov_unit_variance(key, th, bound, centered):
+    # evidence-scale pinned to total variance 1
+    # (retired_models/single_trial_alpha_mean.py:110-118, _not_scaled2:110-116)
+    g = _col(th["gamma"])
+    mean = g * bound - (g * _col(th["mu_alpha"]) if centered else 0.0)
+    sd = jnp.sqrt(jnp.maximum(1.0 - g**2 * _col(th["std_alpha"]) ** 2, 1e-6))
+    return _noisy(key, mean, sd, bound.shape)
+
+
+SINGLE_TRIAL_ALPHA_NOT_SCALED = _make_alpha_variant(
+    "single_trial_alpha_not_scaled", _cov_raw,
+    "FLAGSHIP: trial-level boundary + raw covariate "
+    "(single_trial_alpha_not_scaled.py:78-155).")
+
+SINGLE_TRIAL_ALPHA = _make_alpha_variant(
+    "single_trial_alpha", _cov_standardized,
+    "Analytically standardized covariate (retired_models/"
+    "single_trial_alpha.py:85-122).")
+
+SINGLE_TRIAL_ALPHA_STANDARD = _make_alpha_variant(
+    "single_trial_alpha_standard", _cov_centered,
+    "Mean-centered covariate (retired_models/"
+    "single_trial_alpha_standard.py:89-125).")
+
+SINGLE_TRIAL_ALPHA_FIXED = _make_alpha_variant(
+    "single_trial_alpha_fixed", _cov_centered_fixed,
+    "Covariate centered at -1 (retired_models/"
+    "single_trial_alpha_fixed.py:87-121).")
+
+SINGLE_TRIAL_ALPHA_SCALED = _make_alpha_variant(
+    "single_trial_alpha_scaled", _cov_scaled,
+    "Free covariate loading gamma ~ U(0,2) (retired_models/"
+    "single_trial_alpha_scaled.py:76-123).",
+    param_names=("drift", "mu_alpha", "beta", "ter", "std_alpha", "dc",
+                 "sigma1", "gamma"),
+    prior=(P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC, P_SIGMA,
+           dists.uniform(0.0, 2.0)))
+
+SINGLE_TRIAL_ALPHA_NOT_SCALED2 = _make_alpha_variant(
+    "single_trial_alpha_not_scaled2",
+    lambda key, th, bound: _cov_unit_variance(key, th, bound, centered=True),
+    "Unit-total-variance centered covariate, gamma ~ U(0,1), std_alpha ~ "
+    "U(0,1) (retired_models/single_trial_alpha_not_scaled2.py:86-124).",
+    param_names=("drift", "mu_alpha", "beta", "ter", "std_alpha", "dc",
+                 "gamma"),
+    prior=(P_DRIFT, P_BOUND, P_BETA, P_NDT, dists.uniform(0.0, 1.0), P_DC,
+           dists.uniform(0.0, 1.0)))
+
+SINGLE_TRIAL_ALPHA_STANDNORM = _make_alpha_variant(
+    "single_trial_alpha_standnorm",
+    lambda key, th, bound: _noisy(
+        key, bound - _col(th["mu_alpha"]),
+        jnp.sqrt(jnp.maximum(1.0 - _col(th["var_alpha"]), 1e-6)),
+        bound.shape),
+    "Variance-parameterized, sigma1 = sqrt(1 - var_alpha) (retired_models/"
+    "single_trial_alpha_standnorm.py:85-122).",
+    param_names=("drift", "mu_alpha", "beta", "ter", "var_alpha", "dc"),
+    prior=(P_DRIFT, P_BOUND, P_BETA, P_NDT, dists.uniform(0.0, 1.0), P_DC),
+    sd_key="_sqrt_var_alpha")
+
+
+def _trial_alpha_sqrt_var(key, th, n):
+    """standnorm draws boundary with sd = sqrt(var_alpha)
+    (retired_models/single_trial_alpha_standnorm.py:89-91)."""
+    B = th["mu_alpha"].shape[0]
+    sd = jnp.sqrt(_col(th["var_alpha"]))
+    bound = trunc_normal_positive(key, _col(th["mu_alpha"]), sd, (B, n))
+    return TrialParams(drift=_col(th["drift"]), boundary=bound,
+                       beta=_col(th["beta"]), ndt=_col(th["ter"]),
+                       dc=_col(th["dc"]))
+
+
+# standnorm needs the sqrt(var) trial map, not the default std map
+_REGISTRY["single_trial_alpha_standnorm"] = ModelSpec(
+    name="single_trial_alpha_standnorm",
+    param_names=SINGLE_TRIAL_ALPHA_STANDNORM.param_names,
+    prior=SINGLE_TRIAL_ALPHA_STANDNORM.prior,
+    trial_fn=_trial_alpha_sqrt_var,
+    obs_fn=SINGLE_TRIAL_ALPHA_STANDNORM.obs_fn, n_channels=2)
+SINGLE_TRIAL_ALPHA_STANDNORM = _REGISTRY["single_trial_alpha_standnorm"]
+
+
+def _make_alpha_sepvar():
+    """Latent bound_trial (untruncated) observed twice: once through a
+    positive-truncated 'observed boundary' driving the walk, once through the
+    covariate (retired_models/single_trial_alpha_sepvar.py:83-119)."""
+    param_names = ("drift", "mu_alpha", "beta", "ter", "std_alpha", "dc",
+                   "sigma1", "sigma2")
+    prior = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC, P_SIGMA,
+             P_SIGMA)
+
+    def trial_fn(key, th, n):
+        k1, k2 = jax.random.split(key)
+        B = th["mu_alpha"].shape[0]
+        latent = _noisy(k1, _col(th["mu_alpha"]), _col(th["std_alpha"]),
+                        (B, n))
+        obs_bound = trunc_normal_positive(k2, latent, _col(th["sigma2"]),
+                                          (B, n))
+        return TrialParams(drift=_col(th["drift"]), boundary=obs_bound,
+                           beta=_col(th["beta"]), ndt=_col(th["ter"]),
+                           dc=_col(th["dc"]))
+
+    def obs_fn(key, th, trial, t_dec, choice):
+        # NOTE: the covariate reads the latent bound; we re-derive it is not
+        # possible from obs_bound, so the covariate noise is composed:
+        # extdata1 ~ N(latent, sigma1). We approximate by emitting
+        # N(obs_bound, sigma1) which matches the reference's observed-variable
+        # factorization to first order; exact latent plumbing lands with the
+        # structured trial-state refactor.
+        choicert = _signed_choicert(th, t_dec, choice)
+        ext = _noisy(key, trial.boundary, _col(th["sigma1"]),
+                     trial.boundary.shape)
+        return jnp.stack([choicert, ext], axis=-1)
+
+    spec = ModelSpec(name="single_trial_alpha_sepvar",
+                     param_names=param_names, prior=prior,
+                     trial_fn=trial_fn, obs_fn=obs_fn, n_channels=2)
+    return register(spec)
+
+
+SINGLE_TRIAL_ALPHA_SEPVAR = _make_alpha_sepvar()
+
+
+# ---------------------------------------------------------------------------
+# Family C: trial-level dc (misspecification ground truths)
+# ---------------------------------------------------------------------------
+
+def _make_single_trial_dc(name, centered, cite):
+    """Trial-level diffusion coefficient with covariate on dc_trial.
+
+    Ground-truth generator of the misspecification suites
+    (single_trial_alpha_not_scaled.py:899-1056 and
+    retired_models/single_trial_alpha_standard.py alt-block).
+    """
+    param_names = ("drift", "alpha", "beta", "ter", "std_dc", "mu_dc",
+                   "sigma1")
+    prior = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC, P_SIGMA)
+
+    def trial_fn(key, th, n):
+        B = th["alpha"].shape[0]
+        dc = trunc_normal_positive(key, _col(th["mu_dc"]), _col(th["std_dc"]),
+                                   (B, n))
+        return TrialParams(drift=_col(th["drift"]), boundary=_col(th["alpha"]),
+                           beta=_col(th["beta"]), ndt=_col(th["ter"]), dc=dc)
+
+    def obs_fn(key, th, trial, t_dec, choice):
+        choicert = _signed_choicert(th, t_dec, choice)
+        mean = trial.dc - (_col(th["mu_dc"]) if centered else 0.0)
+        ext = _noisy(key, mean, _col(th["sigma1"]), trial.dc.shape)
+        return jnp.stack([choicert, ext], axis=-1)
+
+    spec = ModelSpec(name=name, param_names=param_names, prior=prior,
+                     trial_fn=trial_fn, obs_fn=obs_fn, n_channels=2, doc=cite)
+    return register(spec)
+
+
+SINGLE_TRIAL_DC_NOT_SCALED = _make_single_trial_dc(
+    "single_trial_dc_not_scaled", centered=False,
+    cite="Trial-wise dc ground truth for the flagship misspecification study "
+    "(single_trial_alpha_not_scaled.py:899-974).")
+
+SINGLE_TRIAL_DC_CENTERED = _make_single_trial_dc(
+    "single_trial_dc_centered", centered=True,
+    cite="Centered-covariate trial-dc generator (retired_models/"
+    "single_trial_alpha_standard.py alt-block).")
+
+
+# ---------------------------------------------------------------------------
+# Family D: trial-level drift with covariates
+# ---------------------------------------------------------------------------
+
+def _make_single_trial_drift():
+    """6-param trial-drift model, uniform priors, dt=.005, dc=1
+    (retired_models/single_trial_drift.py:100-160). The reference has no
+    max_steps; we cap at 4000 steps (20 s) for static shapes."""
+    param_names = ("mu_drift", "boundary", "beta", "tau", "sigma", "eta")
+    prior = (dists.uniform(0.01, 3.0), dists.uniform(0.5, 2.0),
+             dists.uniform(0.1, 0.9), dists.uniform(0.1, 1.0),
+             dists.uniform(0.0, 2.0), dists.uniform(0.0, 2.0))
+
+    def trial_fn(key, th, n):
+        B = th["mu_drift"].shape[0]
+        drift = _noisy(key, _col(th["mu_drift"]), _col(th["eta"]), (B, n))
+        return TrialParams(drift=drift, boundary=_col(th["boundary"]),
+                           beta=_col(th["beta"]), ndt=_col(th["tau"]),
+                           dc=jnp.ones((B, 1), jnp.float32))
+
+    def obs_fn(key, th, trial, t_dec, choice):
+        # eeg1 ~ N(drift_trial, sigma) (single_trial_drift.py:126-156)
+        c = choice.astype(jnp.float32)
+        # reference has no missing branch: sign is +-1 always; keep 0 at cap
+        choicert = c * (_col(th["tau"]) + t_dec)
+        ext = _noisy(key, trial.drift, _col(th["sigma"]),
+                     jnp.broadcast_shapes(trial.drift.shape, t_dec.shape))
+        ext = jnp.broadcast_to(ext, t_dec.shape)
+        return jnp.stack([choicert, ext], axis=-1)
+
+    spec = ModelSpec(name="single_trial_drift", param_names=param_names,
+                     prior=prior, trial_fn=trial_fn, obs_fn=obs_fn,
+                     n_channels=2, dt=0.005, max_steps=4000)
+    return register(spec)
+
+
+SINGLE_TRIAL_DRIFT = _make_single_trial_drift()
+
+
+def _make_single_trial_drift2():
+    """7-param trial-drift + dc + covariate on drift_trial
+    (retired_models/single_trial_drift2.py)."""
+    param_names = ("mu_drift", "alpha", "beta", "ter", "eta", "dc", "sigma1")
+    prior = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC, P_SIGMA)
+
+    def trial_fn(key, th, n):
+        B = th["mu_drift"].shape[0]
+        drift = _noisy(key, _col(th["mu_drift"]), _col(th["eta"]), (B, n))
+        return TrialParams(drift=drift, boundary=_col(th["alpha"]),
+                           beta=_col(th["beta"]), ndt=_col(th["ter"]),
+                           dc=_col(th["dc"]))
+
+    def obs_fn(key, th, trial, t_dec, choice):
+        choicert = _signed_choicert(th, t_dec, choice)
+        ext = _noisy(key, trial.drift, _col(th["sigma1"]), t_dec.shape)
+        return jnp.stack([choicert, ext], axis=-1)
+
+    spec = ModelSpec(name="single_trial_drift2", param_names=param_names,
+                     prior=prior, trial_fn=trial_fn, obs_fn=obs_fn,
+                     n_channels=2)
+    return register(spec)
+
+
+SINGLE_TRIAL_DRIFT2 = _make_single_trial_drift2()
+
+
+def _make_single_trial_drift_dc():
+    """13-param trial-level drift AND dc, two EEG channels with a free 2x2
+    loading matrix (retired_models/single_trial_drift_dc.py:125-143)."""
+    param_names = ("mu_drift", "boundary", "beta", "tau", "eta", "mu_dc",
+                   "dc_var", "gamma_dr1", "gamma_dc1", "gamma_dr2",
+                   "gamma_dc2", "sigma1", "sigma2")
+    U = dists.uniform
+    prior = (U(-4.0, 4.0), U(0.5, 2.0), U(0.1, 0.9), U(0.1, 1.0),
+             U(0.0, 2.0), U(0.5, 2.0), U(0.0, 2.0), U(-2.0, 2.0),
+             U(-2.0, 2.0), U(-2.0, 2.0), U(-2.0, 2.0), U(0.0, 2.0),
+             U(0.0, 2.0))
+
+    def trial_fn(key, th, n):
+        k1, k2 = jax.random.split(key)
+        B = th["mu_drift"].shape[0]
+        drift = _noisy(k1, _col(th["mu_drift"]), _col(th["eta"]), (B, n))
+        # reference clamps small dc to 0 (single_trial_drift_dc.py: "Correct
+        # for small diffusion coefficients"); we clamp at a tiny positive
+        # value so the walk stays defined.
+        dc = _noisy(k2, _col(th["mu_dc"]), _col(th["dc_var"]), (B, n))
+        dc = jnp.maximum(dc, 1e-3)
+        return TrialParams(drift=drift, boundary=_col(th["boundary"]),
+                           beta=_col(th["beta"]), ndt=_col(th["tau"]), dc=dc)
+
+    def obs_fn(key, th, trial, t_dec, choice):
+        k1, k2 = jax.random.split(key)
+        choicert = choice.astype(jnp.float32) * (_col(th["tau"]) + t_dec)
+        m1 = _col(th["gamma_dr1"]) * trial.drift + \
+            _col(th["gamma_dc1"]) * trial.dc
+        m2 = _col(th["gamma_dr2"]) * trial.drift + \
+            _col(th["gamma_dc2"]) * trial.dc
+        eeg1 = _noisy(k1, m1, _col(th["sigma1"]), t_dec.shape)
+        eeg2 = _noisy(k2, m2, _col(th["sigma2"]), t_dec.shape)
+        return jnp.stack([choicert, eeg1, eeg2], axis=-1)
+
+    spec = ModelSpec(name="single_trial_drift_dc", param_names=param_names,
+                     prior=prior, trial_fn=trial_fn, obs_fn=obs_fn,
+                     n_channels=3)
+    return register(spec)
+
+
+SINGLE_TRIAL_DRIFT_DC = _make_single_trial_drift_dc()
+
+
+def _make_two_latent(name, param_names, prior, latents, loadings,
+                     standardize, cite):
+    """Shared builder for two-trial-level-latent, two-covariate models
+    (single_trial_alpha_dc*, single_trial_drift_alpha)."""
+
+    def trial_fn(key, th, n):
+        k1, k2 = jax.random.split(key)
+        B = th[param_names[0]].shape[0]
+        lat = latents(k1, k2, th, (B, n))
+        return lat
+
+    def obs_fn(key, th, trial, t_dec, choice):
+        k1, k2 = jax.random.split(key)
+        choicert = _signed_choicert(
+            {"ter": th[param_names[3]]}, t_dec, choice)
+        (m1, s1), (m2, s2) = loadings(th, trial)
+        eeg1 = _noisy(k1, m1, s1, t_dec.shape)
+        eeg2 = _noisy(k2, m2, s2, t_dec.shape)
+        if standardize is not None:
+            eeg1, eeg2 = standardize(th, eeg1, eeg2)
+        return jnp.stack([choicert, eeg1, eeg2], axis=-1)
+
+    spec = ModelSpec(name=name, param_names=param_names, prior=prior,
+                     trial_fn=trial_fn, obs_fn=obs_fn, n_channels=3, doc=cite)
+    return register(spec)
+
+
+def _alpha_dc_latents(k1, k2, th, shape):
+    dc = trunc_normal_positive(k1, _col(th["mu_dc"]), _col(th["std_dc"]),
+                               shape)
+    bound = trunc_normal_positive(k2, _col(th["mu_alpha"]),
+                                  _col(th["std_alpha"]), shape)
+    return TrialParams(drift=_col(th["drift"]), boundary=bound,
+                       beta=_col(th["beta"]), ndt=_col(th["ter"]), dc=dc)
+
+
+def _alpha_dc_loadings(th, trial):
+    m1 = trial.boundary + _col(th["gamma_dc1"]) * trial.dc
+    m2 = _col(th["gamma_bd2"]) * trial.boundary + trial.dc
+    return (m1, _col(th["sigma1"])), (m2, _col(th["sigma2"]))
+
+
+def _alpha_dc_standardize(th, eeg1, eeg2):
+    # analytic standardization (retired_models/single_trial_alpha_dc.py)
+    mu1 = th["mu_alpha"] + th["gamma_dc1"] * th["mu_dc"]
+    v1 = (th["std_alpha"] ** 2 + th["gamma_dc1"] ** 2 * th["std_dc"] ** 2
+          + th["sigma1"] ** 2)
+    mu2 = th["gamma_bd2"] * th["mu_alpha"] + th["mu_dc"]
+    v2 = (th["gamma_bd2"] ** 2 * th["std_alpha"] ** 2 + th["std_dc"] ** 2
+          + th["sigma2"] ** 2)
+    return ((eeg1 - _col(mu1)) / jnp.sqrt(_col(v1)),
+            (eeg2 - _col(mu2)) / jnp.sqrt(_col(v2)))
+
+
+_ALPHA_DC_PARAMS = ("drift", "mu_alpha", "beta", "ter", "std_alpha", "mu_dc",
+                    "std_dc", "gamma_dc1", "gamma_bd2", "sigma1", "sigma2")
+_ALPHA_DC_PRIOR = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC,
+                   P_TRIAL_SD, P_LOADING, P_LOADING, P_SIGMA, P_SIGMA)
+
+SINGLE_TRIAL_ALPHA_DC = _make_two_latent(
+    "single_trial_alpha_dc", _ALPHA_DC_PARAMS, _ALPHA_DC_PRIOR,
+    _alpha_dc_latents, _alpha_dc_loadings, _alpha_dc_standardize,
+    "Trial boundary+dc, standardized 2-covariate cross-loadings "
+    "(retired_models/single_trial_alpha_dc.py:60-175).")
+
+SINGLE_TRIAL_ALPHA_DC_NOT_SCALED = _make_two_latent(
+    "single_trial_alpha_dc_not_scaled", _ALPHA_DC_PARAMS, _ALPHA_DC_PRIOR,
+    _alpha_dc_latents, _alpha_dc_loadings, None,
+    "Raw (unstandardized) 2-covariate variant (retired_models/"
+    "single_trial_alpha_dc_not_scaled.py).")
+
+
+def _drift_alpha_latents(k1, k2, th, shape):
+    drift = _noisy(k1, _col(th["mu_drift"]), _col(th["eta"]), shape)
+    bound = trunc_normal_positive(k2, _col(th["mu_alpha"]),
+                                  _col(th["var_alpha"]), shape)
+    return TrialParams(drift=drift, boundary=bound, beta=_col(th["beta"]),
+                       ndt=_col(th["ter"]), dc=_col(th["dc"]))
+
+
+def _drift_alpha_loadings(th, trial):
+    m1 = trial.drift + _col(th["gamma_bd1"]) * trial.boundary
+    m2 = _col(th["gamma_dr2"]) * trial.drift + trial.boundary
+    return (m1, _col(th["sigma1"])), (m2, _col(th["sigma2"]))
+
+
+SINGLE_TRIAL_DRIFT_ALPHA = _make_two_latent(
+    "single_trial_drift_alpha",
+    ("mu_drift", "mu_alpha", "beta", "ter", "eta", "dc", "var_alpha",
+     "gamma_bd1", "gamma_dr2", "sigma1", "sigma2"),
+    (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC, P_TRIAL_SD,
+     P_LOADING, P_LOADING, dists.uniform(0.0, 1.0), dists.uniform(0.0, 1.0)),
+    _drift_alpha_latents, _drift_alpha_loadings, None,
+    "Trial drift+boundary, 2 covariates "
+    "(retired_models/single_trial_drift_alpha.py).")
+
+
+# ---------------------------------------------------------------------------
+# Family E: dependent-prior alpha variants (gamma ~ U(0, 1/std_alpha))
+# ---------------------------------------------------------------------------
+
+def _gamma_over_std(theta: Array) -> Array:
+    """Raw u ~ U(0,1) at the gamma slot becomes gamma = u / std_alpha
+    (retired_models/single_trial_alpha_mean.py:76, _not_scaled3.py:78)."""
+    return theta.at[..., 6].set(theta[..., 6] / theta[..., 4])
+
+
+def _make_alpha_gamma_dependent(name, centered, cite):
+    param_names = ("drift", "mu_alpha", "beta", "ter", "std_alpha", "dc",
+                   "gamma")
+    prior = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC,
+             dists.uniform(0.0, 1.0))
+
+    def trial_fn(key, th, n):
+        return _trial_alpha(key, th, n)
+
+    def obs_fn(key, th, trial, t_dec, choice):
+        choicert = _signed_choicert(th, t_dec, choice)
+        ext = _cov_unit_variance(key, th, trial.boundary, centered=centered)
+        return jnp.stack([choicert, ext], axis=-1)
+
+    spec = ModelSpec(name=name, param_names=param_names, prior=prior,
+                     trial_fn=trial_fn, obs_fn=obs_fn, n_channels=2,
+                     prior_transform=_gamma_over_std, doc=cite)
+    return register(spec)
+
+
+SINGLE_TRIAL_ALPHA_MEAN = _make_alpha_gamma_dependent(
+    "single_trial_alpha_mean", centered=False,
+    cite="Covariate gives the evidence scale: N(gamma*bound, sqrt(1-gamma^2*"
+    "std_alpha^2)) (retired_models/single_trial_alpha_mean.py:88-126).")
+
+SINGLE_TRIAL_ALPHA_NOT_SCALED3 = _make_alpha_gamma_dependent(
+    "single_trial_alpha_not_scaled3", centered=True,
+    cite="Centered unit-total-variance covariate with gamma ~ U(0,1/std_alpha) "
+    "(retired_models/single_trial_alpha_not_scaled3.py:90-129).")
+
+
+# ---------------------------------------------------------------------------
+# Family F: evidence-path observation (ERP of the accumulation path)
+# ---------------------------------------------------------------------------
+
+def _make_evidence_model():
+    """dcDDM whose observation includes a 200-sample noisy standardized ERP
+    of the evidence path (retired_models/basic_ddm_dc_evidence.py:88-151).
+    dt=.001, 4 s cap; channels = (rt, choice, 200 path samples)."""
+    from ..ops.ddm_sim import first_passage_with_path
+
+    param_names = ("drift", "alpha", "beta", "ter", "dc", "sigma1")
+    prior = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_DC, P_SIGMA)
+    dt, max_steps, n_rec = 0.001, 4000, 200
+
+    def custom_simulate(key, theta, n_trials, active):
+        k_walk, k_noise = jax.random.split(key)
+        th = {n: theta[:, i] for i, n in enumerate(param_names)}
+        B = theta.shape[0]
+        shape = (B, n_trials)
+        fp, path = first_passage_with_path(
+            k_walk,
+            jnp.broadcast_to(_col(th["drift"]), shape),
+            jnp.broadcast_to(_col(th["alpha"]), shape),
+            jnp.broadcast_to(_col(th["beta"]), shape),
+            jnp.broadcast_to(_col(th["dc"]), shape),
+            dt=dt, max_steps=max_steps, n_record=n_rec)
+        rt = fp.steps.astype(jnp.float32) * dt + _col(th["ter"])
+        noisy = path + _col(th["sigma1"])[..., None] * \
+            jax.random.normal(k_noise, path.shape)
+        mu = jnp.mean(noisy, axis=-1, keepdims=True)
+        sd = jnp.std(noisy, axis=-1, keepdims=True) + 1e-8
+        obs_path = (noisy - mu) / sd
+        return jnp.concatenate(
+            [rt[..., None], fp.choice.astype(jnp.float32)[..., None],
+             obs_path], axis=-1)
+
+    spec = ModelSpec(
+        name="basic_ddm_dc_evidence", param_names=param_names, prior=prior,
+        trial_fn=_trial_fixed, obs_fn=lambda *a: None,
+        n_channels=2 + n_rec, dt=dt, max_steps=max_steps,
+        custom_simulate=custom_simulate,
+        doc="Evidence-path observation family (retired_models/"
+            "basic_ddm_dc_evidence.py:88-151).")
+    return register(spec)
+
+
+BASIC_DDM_DC_EVIDENCE = _make_evidence_model()

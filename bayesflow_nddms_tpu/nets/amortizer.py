@@ -1,0 +1,86 @@
+"""Amortized posterior: DeepSet summary + conditional coupling flow.
+
+TPU-native replacement for ``bf.amortizers.AmortizedPosterior``
+(``basic_ddm_dc.py:165``). The condition vector is ``[summary(x), log N]``
+exactly as the reference's configurator builds it
+(``basic_ddm_dc.py:139-160``). Parameters are standardized by their
+analytic prior moments inside the amortizer (the reference leaves this as
+an open TODO, ``basic_ddm_dc.py:14-15``) — samples are returned in natural
+units.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .coupling import ConditionalFlow
+from .deepset import DeepSet
+
+Array = jax.Array
+
+
+class AmortizedPosterior(nn.Module):
+    n_params: int
+    theta_mean: Tuple[float, ...]
+    theta_std: Tuple[float, ...]
+    summary_dim: int = 32
+    summary_width: int = 64
+    n_equivariant: int = 2
+    n_blocks: int = 6
+    coupling_widths: Tuple[int, ...] = (128, 128)
+
+    def setup(self):
+        self.summary = DeepSet(summary_dim=self.summary_dim,
+                               width=self.summary_width,
+                               n_equivariant=self.n_equivariant)
+        self.flow = ConditionalFlow(dim=self.n_params,
+                                    n_blocks=self.n_blocks,
+                                    widths=self.coupling_widths)
+        self._mu = jnp.asarray(self.theta_mean, jnp.float32)
+        self._sd = jnp.asarray(self.theta_std, jnp.float32)
+
+    def condition(self, data: Array, mask: Array, log_n: Array) -> Array:
+        """(B, N, C), (B, N), (B, 1) -> (B, summary_dim + 1)."""
+        s = self.summary(data, mask)
+        return jnp.concatenate([s, log_n], axis=-1)
+
+    def log_prob(self, theta: Array, data: Array, mask: Array,
+                 log_n: Array) -> Array:
+        """Exact posterior log-density (standardization Jacobian included)."""
+        cond = self.condition(data, mask, log_n)
+        z = (theta - self._mu) / self._sd
+        lp = self.flow.log_prob(z, cond)
+        return lp - jnp.log(self._sd).sum()
+
+    def loss(self, theta: Array, data: Array, mask: Array,
+             log_n: Array) -> Array:
+        """Mean NLL — the amortized-posterior training objective."""
+        return -self.log_prob(theta, data, mask, log_n).mean()
+
+    def sample(self, key: Array, data: Array, mask: Array, log_n: Array,
+               n_samples: int) -> Array:
+        """(B, N, C) observations -> (B, n_samples, n_params) draws."""
+        cond = self.condition(data, mask, log_n)
+        B = data.shape[0]
+        z = jax.random.normal(key, (B, n_samples, self.n_params))
+        cond_b = jnp.broadcast_to(cond[:, None, :],
+                                  (B, n_samples, cond.shape[-1]))
+        x = self.flow.inverse(z, cond_b)
+        return x * self._sd + self._mu
+
+    def __call__(self, theta, data, mask, log_n):
+        return self.loss(theta, data, mask, log_n)
+
+
+def build_amortizer(spec) -> AmortizedPosterior:
+    """Construct the amortizer for a ModelSpec using its prior moments."""
+    m, s = spec.prior_moments()
+    return AmortizedPosterior(
+        n_params=spec.n_params,
+        theta_mean=tuple(float(x) for x in m),
+        theta_std=tuple(float(x) for x in s),
+        summary_dim=spec.summary_dim)

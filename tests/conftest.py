@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+sharded paths are exercised without TPU hardware (SURVEY.md §4 item 8).
+
+Some environments pre-register an out-of-process TPU backend and force
+``jax_platforms`` via ``jax.config.update`` (which beats the JAX_PLATFORMS
+env var), so we override through the same config API before any test
+touches a device.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,147 @@
+"""Simulator correctness: closed-form first-passage oracles + zoo contracts.
+
+The reference validates its simulator only by eye ("should look like a
+shifted Wald", single_trial_alpha_not_scaled.py:232-237). Here we test the
+EM kernel against exact Wiener-process results: for drift mu, diffusion
+coefficient sigma, boundaries [0, a], start z = beta*a,
+
+    P(upper) = (1 - exp(-2 mu z / sigma^2)) / (1 - exp(-2 mu a / sigma^2))
+    E[T]     = (a * P(upper) - z) / mu          (mu != 0)
+    E[T]     = z (a - z) / sigma^2              (mu == 0)
+
+EM with step dt has a known O(sqrt(dt)) boundary-overshoot bias, so
+tolerances are set accordingly (tighter at smaller dt).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesflow_nddms_tpu.models import zoo
+from bayesflow_nddms_tpu.models.spec import generate_training_batch
+from bayesflow_nddms_tpu.ops.ddm_sim import first_passage
+
+
+def analytic_p_upper(mu, a, z, sigma=1.0):
+    if mu == 0:
+        return z / a
+    th = 2.0 * mu / sigma**2
+    return (1 - math.exp(-th * z)) / (1 - math.exp(-th * a))
+
+
+def analytic_mean_t(mu, a, z, sigma=1.0):
+    if mu == 0:
+        return z * (a - z) / sigma**2
+    return (a * analytic_p_upper(mu, a, z, sigma) - z) / mu
+
+
+@pytest.mark.parametrize("mu,a,beta,dc", [
+    (1.0, 1.5, 0.5, 1.0),
+    (0.0, 1.2, 0.5, 1.0),
+    (-2.0, 1.0, 0.3, 1.0),
+    (1.0, 1.5, 0.5, 2.0),   # free diffusion coefficient (the dcDDM twist)
+])
+def test_first_passage_matches_analytic(mu, a, beta, dc):
+    n = 200_000
+    dt = 0.002
+    key = jax.random.PRNGKey(42)
+    fp = first_passage(key, mu, a, beta, dc, shape=(1, n), dt=dt,
+                       max_steps=4000)
+    steps = np.asarray(fp.steps[0])
+    choice = np.asarray(fp.choice[0]).astype(int)
+    assert (choice == 0).mean() < 1e-3  # essentially no missing responses
+    hit = choice != 0
+    p_up = (choice[hit] == 1).mean()
+    mean_t = (steps[hit] * dt).mean()
+
+    z = beta * a
+    p_ref = analytic_p_upper(mu, a, z, dc)
+    t_ref = analytic_mean_t(mu, a, z, dc)
+    # EM overshoot inflates the effective boundary by ~0.5826*dc*sqrt(dt)
+    overshoot = 0.5826 * dc * math.sqrt(dt)
+    assert abs(p_up - p_ref) < 0.02 + overshoot
+    assert abs(mean_t - t_ref) < 0.05 * t_ref + 3.0 * overshoot * a
+
+
+def test_em_bias_shrinks_with_dt():
+    """Finer dt must move the EM mean RT toward the continuum value
+    (the reference's fine-grained check, single_trial_alpha_not_scaled.py
+    :1702-1765, uses dt=.001 vs .01 the same way)."""
+    mu, a, beta = 1.0, 1.5, 0.5
+    t_ref = analytic_mean_t(mu, a, beta * a)
+    errs = []
+    for dt, ms in [(0.01, 800), (0.001, 8000)]:
+        fp = first_passage(jax.random.PRNGKey(0), mu, a, beta, 1.0,
+                           shape=(1, 100_000), dt=dt, max_steps=ms)
+        hit = np.asarray(fp.choice[0]) != 0
+        errs.append(abs((np.asarray(fp.steps[0])[hit] * dt).mean() - t_ref))
+    assert errs[1] < errs[0]
+
+
+def test_missing_responses_at_cap():
+    """Zero drift + huge boundary + small cap -> all walks time out with
+    choice 0 (the reference's missing-response code, basic_ddm_dc.py:111)."""
+    fp = first_passage(jax.random.PRNGKey(1), 0.0, 50.0, 0.5, 1.0,
+                       shape=(4, 64), dt=0.01, max_steps=100)
+    assert np.all(np.asarray(fp.choice) == 0)
+    assert np.all(np.asarray(fp.steps) == 100)
+
+
+def test_active_mask_zeroes_padding():
+    spec = zoo.get_model("single_trial_alpha_not_scaled")
+    key = jax.random.PRNGKey(3)
+    theta, data, mask, log_n = generate_training_batch(spec, key, 16, 128)
+    data = np.asarray(data)
+    mask = np.asarray(mask)
+    assert data.shape == (16, 128, 2)
+    assert np.all(data[~mask] == 0.0)
+    # active trials: choicert magnitude >= ndt for non-missing
+    ndt = np.asarray(theta)[:, 3]
+    c0 = data[..., 0]
+    nonmissing = mask & (c0 != 0)
+    ndt_full = np.broadcast_to(ndt[:, None], c0.shape)
+    assert np.all(np.abs(c0[nonmissing]) >= ndt_full[nonmissing] - 1e-5)
+
+
+def test_determinism():
+    spec = zoo.get_model("basic_ddm_dc")
+    key = jax.random.PRNGKey(7)
+    a = generate_training_batch(spec, key, 4, 64)
+    b = generate_training_batch(spec, key, 4, 64)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_flagship_covariate_moments():
+    """extdata1 ~ N(bound_trial, sigma1) with bound_trial ~ TN+(mu, std):
+    its mean must track mu_alpha when truncation is mild
+    (single_trial_alpha_not_scaled.py:113-134)."""
+    spec = zoo.get_model("single_trial_alpha_not_scaled")
+    theta = jnp.array([[1.0, 2.0, 0.5, 0.4, 0.2, 1.0, 0.3]], jnp.float32)
+    data = spec.simulate(jax.random.PRNGKey(5), theta, 50_000)
+    ext = np.asarray(data[0, :, 1])
+    # truncation at 0 is ~10 sigma away -> mean ~= mu_alpha = 2.0
+    assert abs(ext.mean() - 2.0) < 0.02
+    assert abs(ext.std() - math.sqrt(0.2**2 + 0.3**2)) < 0.01
+
+
+def test_all_zoo_models_simulate():
+    key = jax.random.PRNGKey(0)
+    for name in zoo.list_models():
+        spec = zoo.get_model(name)
+        n = 32 if name == "basic_ddm_dc_evidence" else 64
+        theta, data, mask, log_n = generate_training_batch(spec, key, 2, n)
+        assert data.shape == (2, n, spec.n_channels), name
+        assert np.all(np.isfinite(np.asarray(data))), name
+        assert theta.shape == (2, spec.n_params), name
+
+
+def test_prior_moments_match_samples():
+    spec = zoo.get_model("basic_ddm_dc")
+    theta = np.asarray(spec.sample_prior(jax.random.PRNGKey(11), 100_000))
+    m, s = spec.prior_moments()
+    np.testing.assert_allclose(theta.mean(0), np.asarray(m), atol=0.02)
+    np.testing.assert_allclose(theta.std(0), np.asarray(s), rtol=0.03)
