@@ -1,0 +1,128 @@
+"""Recovery metrics and simulation-based calibration.
+
+The reference's correctness oracle is parameter recovery: R^2 and Pearson
+rho between true parameters and posterior means, printed on
+``recovery_scatter`` plots (``pyhddmjagsutils.py:608-623``), plus the
+NaN-safe ``rsquared_pred`` (:756-767). We add SBC rank histograms — the
+modern replacement for eyeballing recovery plots — and a batched, jitted
+recovery-study runner replacing the reference's 500-12,000-iteration
+Python loops (``basic_ddm_dc.py:219-223``,
+``single_trial_alpha_not_scaled.py:297-309``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.spec import ModelSpec, generate_training_batch
+
+Array = jax.Array
+
+
+def rsquared_pred(trueval: np.ndarray, predval: np.ndarray) -> float:
+    """NaN-safe R^2_prediction (pyhddmjagsutils.py:756-767)."""
+    trueval = np.asarray(trueval, np.float64).ravel()
+    predval = np.asarray(predval, np.float64).ravel()
+    keep = ~(np.isnan(trueval) | np.isnan(predval))
+    t, p = trueval[keep], predval[keep]
+    sse = np.sum((t - p) ** 2)
+    sst = np.sum((t - t.mean()) ** 2)
+    return float(1.0 - sse / sst)
+
+
+def pearson(x: np.ndarray, y: np.ndarray) -> float:
+    x = np.asarray(x, np.float64).ravel()
+    y = np.asarray(y, np.float64).ravel()
+    xc, yc = x - x.mean(), y - y.mean()
+    return float((xc * yc).sum() /
+                 np.sqrt((xc**2).sum() * (yc**2).sum() + 1e-300))
+
+
+def recovery_metrics(true_params: np.ndarray, param_samples: np.ndarray,
+                     param_names=None) -> Dict[str, dict]:
+    """Per-parameter R^2 (sklearn definition == rsquared_pred) and Pearson
+    rho of posterior means vs truths, the headline quality gate
+    (pyhddmjagsutils.py:608-623)."""
+    true_params = np.asarray(true_params)
+    post_mean = np.asarray(param_samples).mean(axis=1)
+    P = true_params.shape[1]
+    names = param_names or [f"p{i}" for i in range(P)]
+    out = {}
+    for i, n in enumerate(names):
+        out[n] = {
+            "r2": rsquared_pred(true_params[:, i], post_mean[:, i]),
+            "rho": pearson(true_params[:, i], post_mean[:, i]),
+        }
+    return out
+
+
+class RecoveryStudy(NamedTuple):
+    true_params: np.ndarray     # (num_test, P)
+    param_samples: np.ndarray   # (num_test, n_draws, P)
+    n_trials: np.ndarray        # (num_test,)
+    metrics: Dict[str, dict]
+
+
+def run_recovery_study(spec: ModelSpec, amortizer, params, key: Array,
+                       num_test: int = 500, n_draws: int = 1000,
+                       batch: int = 256, n_pad: Optional[int] = None,
+                       ) -> RecoveryStudy:
+    """Batched recovery study: simulate ``num_test`` fresh datasets with
+    random N and draw ``n_draws`` posterior samples for each, fully on
+    device in chunks of ``batch`` (replaces the reference's one-dataset-at-
+    a-time loop, basic_ddm_dc.py:219-223)."""
+    if n_pad is None:
+        n_pad = spec.n_max
+
+    @jax.jit
+    def one_chunk(k, net_params):
+        k_sim, k_draw = jax.random.split(k)
+        theta, data, mask, log_n = generate_training_batch(
+            spec, k_sim, batch, n_pad)
+        samp = amortizer.apply(net_params, k_draw, data, mask, log_n,
+                               n_draws, method="sample")
+        return theta, samp, jnp.exp(log_n[:, 0])
+
+    thetas, samps, ns = [], [], []
+    n_chunks = -(-num_test // batch)
+    for c in range(n_chunks):
+        t, s, n = one_chunk(jax.random.fold_in(key, c), params)
+        thetas.append(np.asarray(t))
+        samps.append(np.asarray(s))
+        ns.append(np.asarray(n))
+    true_params = np.concatenate(thetas)[:num_test]
+    param_samples = np.concatenate(samps)[:num_test]
+    n_trials = np.rint(np.concatenate(ns)[:num_test])
+    metrics = recovery_metrics(true_params, param_samples,
+                               list(spec.param_names))
+    return RecoveryStudy(true_params, param_samples, n_trials, metrics)
+
+
+def sbc_ranks(true_params: np.ndarray, param_samples: np.ndarray
+              ) -> np.ndarray:
+    """Simulation-based-calibration ranks: for each test dataset and
+    parameter, the rank of the truth among posterior draws. Uniform ranks
+    <=> calibrated posterior (SURVEY.md §4 build implication)."""
+    true_params = np.asarray(true_params)          # (T, P)
+    samples = np.asarray(param_samples)            # (T, L, P)
+    return (samples < true_params[:, None, :]).sum(axis=1)  # (T, P) in [0,L]
+
+
+def sbc_uniformity_pvalue(ranks: np.ndarray, n_draws: int,
+                          n_bins: int = 20) -> np.ndarray:
+    """Chi-square goodness-of-fit p-value of SBC ranks vs uniform,
+    per parameter."""
+    from scipy import stats
+    ranks = np.asarray(ranks)
+    T, P = ranks.shape
+    edges = np.linspace(0, n_draws + 1, n_bins + 1)
+    pvals = np.empty(P)
+    for i in range(P):
+        hist, _ = np.histogram(ranks[:, i], bins=edges)
+        chi2 = ((hist - T / n_bins) ** 2 / (T / n_bins)).sum()
+        pvals[i] = stats.chi2.sf(chi2, df=n_bins - 1)
+    return pvals

@@ -1,0 +1,117 @@
+"""Diagnostics tests: Rhat/ESS behavior on known chains, recovery metrics,
+SBC calibration of an untrained (identity) flow, plot smoke tests."""
+
+import numpy as np
+
+from bayesflow_nddms_tpu.diagnostics import convergence as cv
+from bayesflow_nddms_tpu.diagnostics import recovery as rec
+
+
+def test_rhat_converged_chains_near_one():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 2000, 4))  # iid -> Rhat ~ 1
+    r = cv.split_rhat(x)
+    assert r.shape == (3,)
+    assert np.all(np.abs(r - 1.0) < 0.02)
+
+
+def test_rhat_detects_nonconvergence():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2000, 4))
+    x[:, 0] += 5.0  # one shifted chain
+    r = cv.split_rhat(x)
+    assert r > 1.5
+
+
+def test_ess_iid_close_to_total():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2000, 4))
+    ne = cv.ess(x)
+    assert 0.5 * 8000 < ne < 1.5 * 8000
+
+
+def test_ess_autocorrelated_much_smaller():
+    rng = np.random.default_rng(3)
+    n, m, rho = 4000, 4, 0.95
+    x = np.zeros((n, m))
+    eps = rng.normal(size=(n, m))
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + eps[t] * np.sqrt(1 - rho**2)
+    ne = cv.ess(x)
+    expect = n * m * (1 - rho) / (1 + rho)  # AR(1) theory
+    assert 0.4 * expect < ne < 2.5 * expect
+
+
+def test_diagnostic_and_summary_dict_interface(capsys):
+    rng = np.random.default_rng(4)
+    samples = {"alpha": rng.normal(1.0, 0.1, size=(5, 500, 4)),
+               "_ignored": rng.normal(size=(500, 4))}
+    d = cv.diagnostic(samples)
+    assert "_ignored" not in d and "alpha" in d
+    assert "Maximum Rhat" in capsys.readouterr().out
+    s = cv.summary(samples)
+    assert abs(s["alpha"]["mean"].mean() - 1.0) < 0.01
+    assert s["alpha"]["95lower"].shape == (5,)
+    assert np.all(s["alpha"]["95lower"] < s["alpha"]["95upper"])
+
+
+def test_flipstanout_axis_convention():
+    x = np.zeros((100, 6, 3))  # (iters, chains, dim)
+    out = cv.flipstanout({"v": x})
+    assert out["v"].shape == (3, 100, 6)
+
+
+def test_recovery_metrics_perfect_and_noise():
+    rng = np.random.default_rng(5)
+    truth = rng.normal(size=(200, 2))
+    perfect = truth[:, None, :] + rng.normal(0, 1e-3, (200, 50, 2))
+    m = rec.recovery_metrics(truth, perfect, ["a", "b"])
+    assert m["a"]["r2"] > 0.99 and m["b"]["rho"] > 0.99
+    garbage = rng.normal(size=(200, 50, 2))
+    m2 = rec.recovery_metrics(truth, garbage, ["a", "b"])
+    assert abs(m2["a"]["rho"]) < 0.2
+
+
+def test_sbc_uniform_for_calibrated_sampler():
+    """If posterior draws come from the same distribution as the truth,
+    SBC ranks are uniform."""
+    rng = np.random.default_rng(6)
+    T, L, P = 400, 99, 3
+    truth = rng.normal(size=(T, P))
+    draws = rng.normal(size=(T, L, P))
+    ranks = rec.sbc_ranks(truth, draws)
+    p = rec.sbc_uniformity_pvalue(ranks, L)
+    assert np.all(p > 0.01)
+    # a biased sampler must fail
+    ranks_bad = rec.sbc_ranks(truth + 1.0, draws)
+    p_bad = rec.sbc_uniformity_pvalue(ranks_bad, L)
+    assert np.all(p_bad < 1e-6)
+
+
+def test_plots_smoke(tmp_path):
+    from bayesflow_nddms_tpu.diagnostics import plots
+    rng = np.random.default_rng(7)
+    samps = rng.normal(size=(4, 200, 2))
+    fig = plots.jellyfish(samps.reshape(4, 200, 2)[..., 0, None, :])
+    fig.savefig(tmp_path / "jf.png")
+    fig = plots.recovery(rng.normal(size=(50, 100, 1)),
+                         rng.normal(size=(50,)))
+    fig.savefig(tmp_path / "rec.png")
+    fig = plots.recovery_scatter(rng.normal(size=(50, 3)),
+                                 rng.normal(size=(50, 3)),
+                                 ["a", "b", "c"], figsize=(9, 3))
+    fig.savefig(tmp_path / "rs.png")
+    fig = plots.plot_posterior2d(rng.normal(size=(6, 100)),
+                                 rng.normal(size=(6, 100)), ["x", "y"],
+                                 true_params=rng.normal(size=(6, 2)),
+                                 highlight=2)
+    fig.savefig(tmp_path / "p2d.png")
+    fig = plots.plot_posterior3d(rng.normal(size=(200, 3)), ["x", "y", "z"])
+    fig.savefig(tmp_path / "p3d.png")
+    fig = plots.plot_losses(np.linspace(3, -2, 100),
+                            np.linspace(3, -1.5, 10))
+    fig.savefig(tmp_path / "loss.png")
+    fig = plots.plot_recovery(samps, rng.normal(size=(4, 2)), ["a", "b"])
+    fig.savefig(tmp_path / "bfrec.png")
+    import matplotlib.pyplot as plt
+    plt.close("all")
