@@ -1,0 +1,100 @@
+"""Stahl et al. (2015) / Mattes et al. (2022) EEG+behavior data pipeline.
+
+Rebuilds the preprocessing of ``fitting_stahl_data.py:63-123``:
+
+  * load trial-level CSVs (columns ``subj_idx, rt, response, type,
+    pre_Ne, pre_Pe`` — ``stahl_data/base_data.csv:1``);
+  * residualize the Pe/c ERP component on Ne/c via linear regression
+    (:97-102), normalize (:103), and rescale to "alpha-like" units
+    ``(z + 3) / 3`` (:109-110);
+  * inverted covariate (:119-123) and a fake, unrelated covariate drawn
+    N(1, 1/3) with a fixed RNG (:113-115) as controls;
+  * signed choice-RT ``rt * (2*response - 1)`` (:161).
+
+The loader returns plain numpy; per-participant padding to a fixed trial
+buffer happens in ``to_padded_batch`` so the amortized fit is ONE batched
+TPU call over all participants (the reference loops participants one by
+one, :196-211).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class StahlData:
+    subj: np.ndarray           # (T,) participant labels
+    choicert: np.ndarray       # (T,) signed choice-RT
+    alpha_like_pe: np.ndarray  # (T,) rescaled Pe-residual covariate
+    alpha_invert_pe: np.ndarray
+    alpha_like_fake: np.ndarray
+    normalized_ne: np.ndarray
+    participants: np.ndarray   # unique labels
+
+    def covariate(self, which: str) -> np.ndarray:
+        return {"pe": self.alpha_like_pe, "invert": self.alpha_invert_pe,
+                "fake": self.alpha_like_fake, "ne": self.normalized_ne}[which]
+
+
+def residualize(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Residuals of y ~ 1 + x (fitting_stahl_data.py:97-102)."""
+    coeffs = np.polyfit(x, y, deg=1)
+    return y - np.polyval(coeffs, x)
+
+
+def alpha_scale(z: np.ndarray) -> np.ndarray:
+    """Standardized covariate -> 'alpha-like' units (z+3)/3
+    (fitting_stahl_data.py:109-110)."""
+    return (z + 3.0) / 3.0
+
+
+def load_stahl_csv(path: str, seed: int = 2024) -> StahlData:
+    import pandas as pd
+    df = pd.read_csv(path)
+    x = df["pre_Ne"].to_numpy(np.float64)
+    y = df["pre_Pe"].to_numpy(np.float64)
+    resid = residualize(x, y)
+    z = (resid - resid.mean()) / resid.std()
+    alpha_like_pe = alpha_scale(z)
+    inv = -resid
+    z_inv = (inv - inv.mean()) / inv.std()
+    alpha_invert_pe = alpha_scale(z_inv)
+    rng = np.random.default_rng(seed)   # fixed fake covariate (:113-115)
+    alpha_like_fake = rng.normal(1.0, 1.0 / 3.0, size=len(df))
+    normalized_ne = x / x.std()         # not mean-shifted (:105)
+    choicert = (df["rt"] * (2 * df["response"] - 1)).to_numpy(np.float64)
+    subj = df["subj_idx"].to_numpy()
+    return StahlData(subj=subj, choicert=choicert,
+                     alpha_like_pe=alpha_like_pe,
+                     alpha_invert_pe=alpha_invert_pe,
+                     alpha_like_fake=alpha_like_fake,
+                     normalized_ne=normalized_ne,
+                     participants=np.unique(subj))
+
+
+def to_padded_batch(data: StahlData, which: str = "invert",
+                    n_pad: Optional[int] = None,
+                    participants: Optional[Sequence] = None):
+    """Stack per-participant (choicert, covariate) trials into one padded
+    (P, n_pad, 2) buffer + mask + log-N — the amortizer's batch format."""
+    cov = data.covariate(which)
+    parts = np.asarray(participants if participants is not None
+                       else data.participants)
+    counts = np.array([(data.subj == p).sum() for p in parts])
+    if n_pad is None:
+        n_pad = int(counts.max())
+    P = len(parts)
+    out = np.zeros((P, n_pad, 2), np.float32)
+    mask = np.zeros((P, n_pad), bool)
+    for i, p in enumerate(parts):
+        sel = data.subj == p
+        n = min(int(sel.sum()), n_pad)
+        out[i, :n, 0] = data.choicert[sel][:n]
+        out[i, :n, 1] = cov[sel][:n]
+        mask[i, :n] = True
+    log_n = np.log(np.maximum(counts.clip(max=n_pad), 1)).astype(np.float32)
+    return out, mask, log_n[:, None], parts, counts

@@ -1,0 +1,171 @@
+"""Hierarchical dcDDM posteriors for the exact-likelihood MCMC backend.
+
+Rebuilds the reference's JAGS/Stan models as JAX log-densities:
+
+  * ``hierarchical_dcddm``: per-participant (alpha, ndt, beta, delta,
+    varsigma) with the priors of ``basic_ddm_dc_pyjags.py:103-137`` /
+    ``basic_ddm_dc_pystan2.py:140-176`` and the dwiener likelihood with
+    /dc rescaling (pyjags line 133).
+  * ``hierarchical_dcddm_covariate``: adds the participant-level external
+    covariate ``extdata[p] ~ N(1*alpha[p], sigma^2)`` with
+    sigma ~ TN(3,1,[0,10]) — the joint model of ``alpha_not_scaled.py:
+    138-181`` (covariate line :165).
+
+Sampling runs in unconstrained space; each bounded parameter uses a
+sigmoid reparameterization whose log-Jacobian is included, so the HMC
+sampler (``mcmc/hmc.py``) needs no constraint handling.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import dists
+from .wfpt import diffusion_logpdf
+
+Array = jax.Array
+
+_PARAM_ORDER = ("alpha", "ndt", "beta", "delta", "varsigma")
+_BOUNDS = {"alpha": (0.0, 10.0), "ndt": (0.0, 1.5), "beta": (0.0, 1.0),
+           "varsigma": (0.0, 10.0), "sigma": (0.0, 10.0)}
+
+_PRIORS = {
+    "alpha": dists.truncnorm(1.0, 0.5, 0.0, 10.0),
+    "ndt": dists.truncnorm(0.5, 0.25, 0.0, 1.5),
+    "beta": dists.beta(2.0, 2.0),
+    "delta": dists.normal(0.0, 2.0),
+    "varsigma": dists.truncnorm(1.0, 0.5, 0.0, 10.0),
+    "sigma": dists.truncnorm(3.0, 1.0, 0.0, 10.0),  # alpha_not_scaled.py:142
+}
+
+
+def _sigmoid_transform(z: Array, low: float, high: float):
+    """Unconstrained z -> (low, high), returning (x, log|dx/dz|)."""
+    s = jax.nn.sigmoid(z)
+    x = low + (high - low) * s
+    log_jac = math.log(high - low) + jax.nn.log_sigmoid(z) + \
+        jax.nn.log_sigmoid(-z)
+    return x, log_jac
+
+
+class DcDDMData(NamedTuple):
+    y: Array              # (N,) signed choice-RT
+    participant: Array    # (N,) int32 in [0, nparts)
+    nparts: int
+    extdata: Optional[Array] = None   # (nparts,) covariate or None
+
+
+def make_logprob(data: DcDDMData):
+    """Returns (logprob_fn, unflatten, dim) for HMC over the flattened
+    unconstrained parameter vector."""
+    P = data.nparts
+    has_cov = data.extdata is not None
+    dim = 5 * P + (1 if has_cov else 0)
+
+    def unflatten(z: Array):
+        out = {}
+        for i, name in enumerate(_PARAM_ORDER):
+            out[name] = z[i * P:(i + 1) * P]
+        if has_cov:
+            out["sigma"] = z[5 * P]
+        return out
+
+    def constrain(raw):
+        """Map unconstrained values to the model space + total Jacobian."""
+        th, jac = {}, 0.0
+        for name, v in raw.items():
+            if name == "delta":
+                th[name] = v
+            else:
+                lo, hi = _BOUNDS[name]
+                x, j = _sigmoid_transform(v, lo, hi)
+                th[name] = x
+                jac = jac + jnp.sum(j)
+        return th, jac
+
+    def logprob(z: Array) -> Array:
+        raw = unflatten(z)
+        th, jac = constrain(raw)
+        lp = jac
+        # priors (basic_ddm_dc_pyjags.py:112-124). Truncation normalizers
+        # are parameter-independent constants here, so plain pdfs suffice.
+        for name in _PARAM_ORDER:
+            lp = lp + jnp.sum(_PRIORS[name].log_prob(th[name]))
+        if has_cov:
+            lp = lp + _PRIORS["sigma"].log_prob(th["sigma"])
+            # extdata[p] ~ N(1*alpha[p], sigma^2) (alpha_not_scaled.py:165)
+            resid = (data.extdata - th["alpha"]) / th["sigma"]
+            lp = lp + jnp.sum(-0.5 * resid**2 - jnp.log(th["sigma"])
+                              - 0.5 * math.log(2 * math.pi))
+        # Wiener likelihood with /dc rescaling (pyjags:133)
+        idx = data.participant
+        ll = diffusion_logpdf(
+            data.y, th["alpha"][idx], th["ndt"][idx], th["beta"][idx],
+            th["delta"][idx], th["varsigma"][idx])
+        return lp + jnp.sum(ll)
+
+    return logprob, unflatten, dim
+
+
+def initial_positions(key: Array, data: DcDDMData, n_chains: int,
+                      min_rt: Optional[Array] = None) -> Array:
+    """Random overdispersed inits mirroring the reference's chain inits
+    (``basic_ddm_dc_pyjags.py:186-197``): ndt below min RT / 2."""
+    P = data.nparts
+    has_cov = data.extdata is not None
+    dim = 5 * P + (1 if has_cov else 0)
+
+    def logit(x, lo, hi):
+        p = (x - lo) / (hi - lo)
+        p = jnp.clip(p, 1e-4, 1 - 1e-4)
+        return jnp.log(p) - jnp.log1p(-p)
+
+    keys = jax.random.split(key, 6)
+    alpha = jax.random.uniform(keys[0], (n_chains, P), minval=0.5, maxval=2.0)
+    if min_rt is None:
+        ndt = jax.random.uniform(keys[1], (n_chains, P), minval=0.1,
+                                 maxval=0.4)
+    else:
+        ndt = jax.random.uniform(keys[1], (n_chains, P), minval=0.02,
+                                 maxval=1.0) * (min_rt[None, :] / 2.0)
+    beta = jax.random.uniform(keys[2], (n_chains, P), minval=0.2, maxval=0.8)
+    delta = jax.random.uniform(keys[3], (n_chains, P), minval=-3.0,
+                               maxval=3.0)
+    varsigma = jax.random.uniform(keys[4], (n_chains, P), minval=0.5,
+                                  maxval=2.0)
+    cols = [logit(alpha, 0, 10), logit(ndt, 0, 1.5), logit(beta, 0, 1),
+            delta, logit(varsigma, 0, 10)]
+    z = jnp.concatenate(cols, axis=1)
+    if has_cov:
+        sigma = jax.random.uniform(keys[5], (n_chains, 1), minval=0.5,
+                                   maxval=3.0)
+        z = jnp.concatenate([z, logit(sigma, 0, 10)], axis=1)
+    return z
+
+
+def samples_to_dict(samples: Array, data: DcDDMData) -> dict:
+    """(chains, n_samples, dim) unconstrained -> dict of constrained arrays
+    in the reference layout (dims..., nsamps, nchains) for diagnostics."""
+    P = data.nparts
+    has_cov = data.extdata is not None
+    out = {}
+    C, S, _ = samples.shape
+
+    def constrain_block(block, name):
+        if name == "delta":
+            return block
+        lo, hi = _BOUNDS[name]
+        return lo + (hi - lo) * jax.nn.sigmoid(block)
+
+    for i, name in enumerate(_PARAM_ORDER):
+        block = samples[..., i * P:(i + 1) * P]       # (C, S, P)
+        x = constrain_block(block, name)
+        out[name] = jnp.moveaxis(x, (0, 1, 2), (2, 1, 0))  # (P, S, C)
+    if has_cov:
+        x = constrain_block(samples[..., 5 * P], "sigma")  # (C, S)
+        out["sigma"] = jnp.moveaxis(x, (0, 1), (1, 0))     # (S, C)
+    return {k: jnp.asarray(v) for k, v in out.items()}

@@ -39,6 +39,18 @@ class TrialParams(NamedTuple):
     dc: Array
 
 
+def _use_pallas() -> bool:
+    """Use the Pallas kernel on real TPU backends (2.7x the XLA scan path);
+    CPU meshes (tests, multi-chip dry runs) take the portable path."""
+    import os
+    if os.environ.get("NDDMS_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 TrialFn = Callable[[Array, Theta, int], TrialParams]
 # obs_fn(key, theta, trial_params, t_dec(B,N), choice(B,N) int8) -> (B,N,C)
 ObsFn = Callable[[Array, Theta, TrialParams, Array, Array], Array]
@@ -121,10 +133,35 @@ class ModelSpec:
         k_trial, k_walk, k_obs = jax.random.split(key, 3)
         th = self.theta_dict(theta)
         trial = self.trial_fn(k_trial, th, n_trials)
-        fp = first_passage(
-            k_walk, trial.drift, trial.boundary, trial.beta, trial.dc,
-            shape=(theta.shape[0], n_trials),
-            dt=self.dt, max_steps=self.max_steps, chunk=chunk, active=active)
+        shape = (theta.shape[0], n_trials)
+        if _use_pallas():
+            from ..ops.ddm_pallas import first_passage_pallas
+            seed = jax.random.bits(k_walk, dtype=jnp.uint32).astype(jnp.int32)
+            # Sort datasets by expected decision time so slow-parameter
+            # datasets share Pallas blocks: block-level early exit then
+            # actually fires for the fast blocks (2-4x on prior-drawn
+            # parameter batches where one slow dataset would otherwise
+            # drag every block to the step cap).
+            a0 = trial.boundary[:, :1]
+            dc0 = trial.dc[:, :1]
+            b0 = trial.beta[:, :1]
+            proxy = (a0 * a0 * b0 * (1.0 - b0) / (dc0 * dc0))[:, 0]
+            order = jnp.argsort(proxy)
+            inv_order = jnp.argsort(order)
+            gather = lambda x: x[order] if x.shape[0] == shape[0] else x
+            fp = first_passage_pallas(
+                seed, gather(trial.drift), gather(trial.boundary),
+                gather(trial.beta), gather(trial.dc),
+                shape=shape, dt=self.dt, max_steps=self.max_steps,
+                active=gather(active) if active is not None else None)
+            fp = type(fp)(steps=fp.steps[inv_order],
+                          choice=fp.choice[inv_order])
+        else:
+            fp = first_passage(
+                k_walk, trial.drift, trial.boundary, trial.beta, trial.dc,
+                shape=shape,
+                dt=self.dt, max_steps=self.max_steps, chunk=chunk,
+                active=active)
         t_dec = fp.steps.astype(jnp.float32) * self.dt
         data = self.obs_fn(k_obs, th, trial, t_dec, fp.choice)
         if active is not None:

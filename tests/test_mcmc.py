@@ -1,0 +1,142 @@
+"""MCMC backend tests: WFPT density correctness, HMC on known targets, and
+a small-scale hierarchical dcDDM recovery (the reference's cross-backend
+agreement check, SURVEY.md §4 item 2)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesflow_nddms_tpu.mcmc import hmc as H
+from bayesflow_nddms_tpu.mcmc import models as M
+from bayesflow_nddms_tpu.mcmc.wfpt import diffusion_logpdf, wfpt_logpdf_lower
+from bayesflow_nddms_tpu.ops.ddm_sim import first_passage
+
+
+def _analytic_p_lower(v, a, w):
+    """P(hit lower) for drift v, boundary a, start w*a, unit dc."""
+    if v == 0:
+        return 1 - w
+    th = 2.0 * v
+    return (math.exp(-th * a * w) - math.exp(-th * a)) / (1 - math.exp(-th * a))
+
+
+@pytest.mark.parametrize("v,a,w", [
+    (1.0, 1.5, 0.5), (0.0, 1.0, 0.3), (-1.5, 2.0, 0.6), (2.5, 0.8, 0.5),
+])
+def test_wfpt_integrates_to_choice_probability(v, a, w):
+    ts = jnp.linspace(1e-4, 30.0, 60000)
+    pdf = jnp.exp(wfpt_logpdf_lower(ts, v, a, w))
+    mass = float(jnp.trapezoid(pdf, ts))
+    assert abs(mass - _analytic_p_lower(v, a, w)) < 2e-3
+
+
+def test_wfpt_series_agree_around_switch():
+    """Small- and large-time series must agree to ~1e-5 relative in a wide
+    band around the tt=0.35 crossover, for several start points."""
+    from bayesflow_nddms_tpu.mcmc.wfpt import _fpt_large, _fpt_small
+    tts = jnp.linspace(0.15, 0.7, 23)
+    for w in [0.2, 0.45, 0.5, 0.8]:
+        fs = np.asarray(_fpt_small(tts, jnp.full_like(tts, w)))
+        fl = np.asarray(_fpt_large(tts, jnp.full_like(tts, w)))
+        rel = np.abs(fs - fl) / np.maximum(fs, 1e-8)
+        assert np.max(rel) < 1e-5
+
+
+def test_diffusion_logpdf_matches_simulation_histogram():
+    """Density vs fine-dt EM simulation for a dcDDM (dc != 1) — the latent
+    consistency check the reference relies on (SURVEY.md §4 item 6)."""
+    # dt small enough that the EM boundary-overshoot bias
+    # (~0.58*dc*sqrt(dt) effective widening) is < 1% of the boundary
+    drift, bound, beta, ndt, dc = 1.2, 1.4, 0.45, 0.3, 1.0
+    n, dt = 300_000, 2e-4
+    fp = first_passage(jax.random.PRNGKey(0), drift, bound, beta, dc,
+                       shape=(1, n), dt=dt, max_steps=60_000, chunk=512)
+    steps = np.asarray(fp.steps[0])
+    choice = np.asarray(fp.choice[0]).astype(int)
+    rt = steps * dt + ndt
+    y = rt * choice
+    # histogram of upper-boundary RTs
+    upper = y[choice == 1]
+    hist, edges = np.histogram(upper, bins=30, range=(ndt, ndt + 1.6),
+                               density=False)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    emp_dens = hist / n / (edges[1] - edges[0])
+    mod_dens = np.exp(np.asarray(diffusion_logpdf(
+        jnp.asarray(centers, jnp.float32), bound, ndt, beta, drift, dc)))
+    keep = emp_dens > 5e-3
+    rel = np.abs(mod_dens[keep] - emp_dens[keep]) / emp_dens[keep]
+    assert np.median(rel) < 0.08  # EM discretization + MC noise budget
+
+
+def test_diffusion_logpdf_guard_small_rt():
+    """|y| < ndt must hit the guard, not produce nan
+    (basic_ddm_dc_pystan2.py:122-124)."""
+    lp = diffusion_logpdf(jnp.float32(0.1), 1.0, 0.3, 0.5, 1.0, 1.0)
+    assert np.isfinite(float(lp))
+
+
+def test_hmc_gaussian_target():
+    """HMC must recover mean/var of a correlated Gaussian."""
+    cov = jnp.array([[1.0, 0.6], [0.6, 2.0]])
+    prec = jnp.linalg.inv(cov)
+    mu = jnp.array([1.0, -2.0])
+
+    def logp(q):
+        d = q - mu
+        return -0.5 * d @ prec @ d
+
+    q0 = jnp.zeros((4, 2))
+    res = H.run_chains(logp, q0, jax.random.PRNGKey(0), n_warmup=400,
+                       n_samples=800, n_leapfrog=16)
+    samp = np.asarray(res.samples).reshape(-1, 2)
+    assert np.all(np.asarray(res.accept_rate) > 0.5)
+    np.testing.assert_allclose(samp.mean(0), np.asarray(mu), atol=0.15)
+    np.testing.assert_allclose(samp.var(0), np.diag(np.asarray(cov)),
+                               rtol=0.25)
+
+
+def test_hierarchical_dcddm_small_recovery():
+    """End-to-end exact-likelihood fit on simulated data: Rhat close to 1
+    and per-participant alpha/delta correlate with the truth (the quality
+    gates of basic_ddm_dc_pyjags.py:212 and its recovery plots)."""
+    rng = np.random.default_rng(3)
+    P, T = 6, 300
+    alpha = rng.uniform(0.9, 1.4, P)
+    ndt = rng.uniform(0.2, 0.45, P)
+    beta = rng.uniform(0.4, 0.6, P)
+    delta = rng.uniform(-3, 3, P)
+    varsigma = rng.uniform(0.9, 1.4, P)
+
+    fp = first_passage(
+        jax.random.PRNGKey(1),
+        jnp.asarray(delta)[:, None], jnp.asarray(alpha)[:, None],
+        jnp.asarray(beta)[:, None], jnp.asarray(varsigma)[:, None],
+        shape=(P, T), dt=0.001, max_steps=15_000)
+    steps = np.asarray(fp.steps)
+    choice = np.asarray(fp.choice).astype(int)
+    rt = steps * 0.001 + ndt[:, None]
+    y = (rt * choice).ravel()
+    part = np.repeat(np.arange(P), T)
+    keep = y != 0
+    data = M.DcDDMData(y=jnp.asarray(y[keep], jnp.float32),
+                       participant=jnp.asarray(part[keep], jnp.int32),
+                       nparts=P)
+    logprob, _, dim = M.make_logprob(data)
+    min_rt = np.array([np.abs(y[part == p][y[part == p] != 0]).min()
+                       for p in range(P)])
+    q0 = M.initial_positions(jax.random.PRNGKey(2), data, 2,
+                             jnp.asarray(min_rt, jnp.float32))
+    res = H.run_chains(logprob, q0, jax.random.PRNGKey(3), n_warmup=400,
+                       n_samples=400, n_leapfrog=24)
+    sdict = M.samples_to_dict(np.asarray(res.samples), data)
+    from bayesflow_nddms_tpu.diagnostics.convergence import diagnostic
+    diags = diagnostic({k: np.asarray(v) for k, v in sdict.items()},
+                       verbose=False)
+    assert np.nanmax(diags["delta"]["rhat"]) < 1.3
+    post_alpha = np.asarray(sdict["alpha"]).mean(axis=(1, 2))
+    post_delta = np.asarray(sdict["delta"]).mean(axis=(1, 2))
+    assert np.corrcoef(post_delta, delta)[0, 1] > 0.9
+    assert np.corrcoef(post_alpha, alpha)[0, 1] > 0.5
