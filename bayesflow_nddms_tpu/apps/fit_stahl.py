@@ -1,0 +1,126 @@
+"""Real-data fitting driver: amortized per-participant dcDDM-alpha fits to
+the Stahl et al. (2015) EEG+behavior data.
+
+Replaces ``fitting_stahl_data.py``: loads the CSV, residualizes Ne from
+Pe, rescales to alpha-like units, and fits the flagship
+``single_trial_alpha_not_scaled`` amortizer — but as ONE batched TPU call
+over all participants (the reference loops them one at a time, :196-211).
+Outputs per-participant posterior draws, the derived *proportion of
+covariate variance explained by cognition*
+``std_alpha^2 / (std_alpha^2 + sigma1^2)`` (:214-219), and the jellyfish /
+2-D / 3-D figure suite (:244-409).
+
+    python -m bayesflow_nddms_tpu.apps.fit_stahl \
+        --csv stahl_data/base_data.csv --covariate invert \
+        --ckpt-dir checkpoint/single_trial_alpha_not_scaled
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.stahl import load_stahl_csv, to_padded_batch
+from ..diagnostics import plots
+from ..models import zoo
+from ..train.trainer import TrainConfig, Trainer
+
+FLAGSHIP = "single_trial_alpha_not_scaled"
+
+
+def fit_participants(trainer, state, data, mask, log_n, n_draws=1000,
+                     key=None):
+    """Batched amortized posterior draws: (P, n_draws, n_params)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    return np.asarray(trainer.sample(
+        state, key, jnp.asarray(data), jnp.asarray(mask),
+        jnp.asarray(log_n), n_draws))
+
+
+def prop_cognitive_variance(post: np.ndarray, std_alpha_idx=4, sigma1_idx=6):
+    """std_alpha^2 / (std_alpha^2 + sigma1^2) per draw
+    (fitting_stahl_data.py:214-219)."""
+    cog = post[..., std_alpha_idx] ** 2
+    tot = cog + post[..., sigma1_idx] ** 2
+    return cog / tot
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--csv", default="stahl_data/base_data.csv")
+    p.add_argument("--covariate", default="invert",
+                   choices=["pe", "invert", "fake", "ne"])
+    p.add_argument("--ckpt-dir", default=f"checkpoint/{FLAGSHIP}")
+    p.add_argument("--train-steps", type=int, default=0,
+                   help="train this many steps if no checkpoint exists")
+    p.add_argument("--draws", type=int, default=1000)
+    p.add_argument("--plot-dir", default="data_plots")
+    p.add_argument("--out", default=None, help="npz output path")
+    p.add_argument("--no-plots", action="store_true")
+    args = p.parse_args(argv)
+
+    spec = zoo.get_model(FLAGSHIP)
+    stahl = load_stahl_csv(args.csv)
+    data, mask, log_n, parts, counts = to_padded_batch(
+        stahl, which=args.covariate)
+    print(f"{len(parts)} participants, {int(counts.sum())} trials, "
+          f"covariate={args.covariate}")
+
+    cfg = TrainConfig(batch_size=256, steps=max(args.train_steps, 1),
+                      n_pad=spec.n_max, ckpt_dir=args.ckpt_dir)
+    trainer = Trainer(spec, cfg)
+    state = trainer.maybe_restore(trainer.init())
+    if int(state.step) == 0 and args.train_steps > 0:
+        state, _ = trainer.train(state)
+
+    # pad/trim trial buffer to the network's n_pad
+    n_pad = cfg.n_pad
+    if data.shape[1] < n_pad:
+        padw = n_pad - data.shape[1]
+        data = np.pad(data, ((0, 0), (0, padw), (0, 0)))
+        mask = np.pad(mask, ((0, 0), (0, padw)))
+    else:
+        data, mask = data[:, :n_pad], mask[:, :n_pad]
+
+    post = fit_participants(trainer, state, data, mask, log_n, args.draws)
+    pcv = prop_cognitive_variance(post)
+    all_post = np.concatenate([post, pcv[..., None]], axis=-1)
+
+    names = list(spec.param_names) + ["prop_cog_var"]
+    summary = {n: {"mean": float(all_post[..., i].mean()),
+                   "sd": float(all_post[..., i].std())}
+               for i, n in enumerate(names)}
+    print(json.dumps({"covariate": args.covariate,
+                      "participants": len(parts),
+                      "posterior_summary": summary}, indent=2))
+
+    if args.out:
+        np.savez(args.out, posteriors=all_post, participants=parts,
+                 param_names=np.array(names))
+
+    if not args.no_plots:
+        pdir = os.path.join(args.plot_dir, FLAGSHIP, args.covariate)
+        os.makedirs(pdir, exist_ok=True)
+        for i, n in enumerate(names):
+            # jellyfish over participants: (P, draws) -> (P, draws, 1)
+            fig = plots.jellyfish(all_post[:, :, i][:, :, None])
+            fig.savefig(f"{pdir}/jellyfish_{n}.png", dpi=120)
+        fig = plots.plot_posterior2d(
+            all_post[:12, :, 4], all_post[:12, :, 6],
+            ["std_alpha", "sigma1"])
+        fig.savefig(f"{pdir}/2d_stdalpha_sigma1.png", dpi=120)
+        fig = plots.plot_posterior3d(all_post[0][:, [0, 1, 5]],
+                                     ["drift", "mu_alpha", "dc"])
+        fig.savefig(f"{pdir}/3d_drift_alpha_dc.png", dpi=120)
+        import matplotlib.pyplot as plt
+        plt.close("all")
+    return all_post, parts
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Imputation validation driver: embed known single-trial structure in the
+real EEG covariate, simulate behavior from it, fit, and check recovery.
+
+Replaces ``imputation_from_stahl_not_scaled.py``: per-trial boundaries are
+imputed from standardized real Pe/c as ``(z+3)/3`` clipped at 0 (:82-105),
+per-participant (drift, beta, ter, dc) are drawn from the generating
+distributions of :165-176, choice-RTs are simulated from those imputed
+boundaries (:203-213, here via the batched TPU kernel instead of a Python
+trial loop), the flagship amortizer fits the semi-synthetic data, and
+recovery of the imputed mu_alpha / std_alpha and the drawn parameters is
+reported (:232-336).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.stahl import load_stahl_csv
+from ..diagnostics.recovery import pearson, rsquared_pred
+from ..models import zoo
+from ..ops.ddm_sim import first_passage
+from ..train.trainer import TrainConfig, Trainer
+from .fit_stahl import fit_participants
+
+FLAGSHIP = "single_trial_alpha_not_scaled"
+
+
+def impute_boundaries(pe: np.ndarray) -> np.ndarray:
+    """Standardize Pe/c across ALL trials, rescale (z+3)/3, clip at 0
+    (imputation_from_stahl_not_scaled.py:82-105)."""
+    z = (pe - pe.mean()) / pe.std()
+    alphas = (z + 3.0) / 3.0
+    return np.maximum(alphas, 0.0)
+
+
+def draw_participant_params(rng: np.random.Generator, nsubs: int):
+    """Generating distributions of :165-176: positive drifts, beta ~ .5,
+    ter ~ TN(.4,.1), dc ~ TN(1,.25); sigma1 = 0 (no unexplained variance).
+    """
+    from scipy.stats import truncnorm as tn
+    drift = rng.normal(3.0, 1.0, nsubs)
+    beta = rng.beta(25.0, 25.0, nsubs)
+    ter = tn.rvs(-4.0, 11.0, loc=0.4, scale=0.1, size=nsubs,
+                 random_state=rng)
+    dc = tn.rvs(-4.0, 36.0, loc=1.0, scale=0.25, size=nsubs,
+                random_state=rng)
+    return drift, beta, ter, dc
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--csv", default="stahl_data/base_data.csv")
+    p.add_argument("--ckpt-dir", default=f"checkpoint/{FLAGSHIP}")
+    p.add_argument("--draws", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=2024)
+    p.add_argument("--force-differences", action="store_true",
+                   help="add per-participant offsets to Pe/c (:74-79)")
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    import pandas as pd
+    df = pd.read_csv(args.csv)
+    rng = np.random.default_rng(args.seed)
+    pe = df["pre_Pe"].to_numpy(np.float64).copy()
+    subj = df["subj_idx"].to_numpy()
+    parts = np.unique(subj)
+    if args.force_differences:
+        for pt in parts:
+            sel = subj == pt
+            pe[sel] = pe[sel] + rng.normal(0, pe.std())
+
+    alphas = impute_boundaries(pe)
+    alpha_like_pe = (pe - pe.mean()) / pe.std()
+    alpha_like_pe = (alpha_like_pe + 3.0) / 3.0
+
+    drift, beta, ter, dc = draw_participant_params(rng, len(parts))
+    true_mu = np.array([alphas[subj == pt].mean() for pt in parts])
+    true_std = np.array([alphas[subj == pt].std() for pt in parts])
+
+    # simulate choice-RTs from the imputed per-trial boundaries, batched:
+    # pad each participant's trials into one (P, n_pad) buffer
+    counts = np.array([(subj == pt).sum() for pt in parts])
+    n_pad = int(counts.max())
+    P = len(parts)
+    bound_buf = np.ones((P, n_pad), np.float32)
+    cov_buf = np.zeros((P, n_pad), np.float32)
+    mask = np.zeros((P, n_pad), bool)
+    for i, pt in enumerate(parts):
+        sel = subj == pt
+        n = int(sel.sum())
+        bound_buf[i, :n] = alphas[sel]
+        cov_buf[i, :n] = alpha_like_pe[sel]
+        mask[i, :n] = True
+
+    spec = zoo.get_model(FLAGSHIP)
+    fp = first_passage(
+        jax.random.PRNGKey(args.seed),
+        jnp.asarray(drift, jnp.float32)[:, None],
+        jnp.asarray(bound_buf),
+        jnp.asarray(beta, jnp.float32)[:, None],
+        jnp.asarray(dc, jnp.float32)[:, None],
+        shape=(P, n_pad), dt=spec.dt, max_steps=spec.max_steps,
+        active=jnp.asarray(mask))
+    t_dec = np.asarray(fp.steps) * spec.dt
+    choice = np.asarray(fp.choice).astype(np.float32)
+    choicert = choice * (ter[:, None] + t_dec)
+
+    data = np.stack([choicert, cov_buf], axis=-1).astype(np.float32)
+    data[~mask] = 0.0
+    log_n = np.log(counts.astype(np.float32))[:, None]
+
+    cfg = TrainConfig(batch_size=256, steps=1, n_pad=spec.n_max,
+                      ckpt_dir=args.ckpt_dir)
+    trainer = Trainer(spec, cfg)
+    state = trainer.maybe_restore(trainer.init())
+
+    if data.shape[1] < spec.n_max:
+        pw = spec.n_max - data.shape[1]
+        data = np.pad(data, ((0, 0), (0, pw), (0, 0)))
+        mask = np.pad(mask, ((0, 0), (0, pw)))
+    else:
+        data, mask = data[:, :spec.n_max], mask[:, :spec.n_max]
+
+    post = fit_participants(trainer, state, data, mask, log_n, args.draws,
+                            key=jax.random.PRNGKey(args.seed + 1))
+    post_mean = post.mean(axis=1)
+
+    truths = {"drift": drift, "mu_alpha": true_mu, "beta": beta,
+              "ter": ter, "std_alpha": true_std, "dc": dc}
+    metrics = {}
+    for i, name in enumerate(spec.param_names):
+        if name in truths:
+            metrics[name] = {
+                "r2": rsquared_pred(truths[name], post_mean[:, i]),
+                "rho": pearson(truths[name], post_mean[:, i]),
+            }
+    print(json.dumps({"imputation_recovery": metrics,
+                      "participants": P}, indent=2))
+    if args.out:
+        np.savez(args.out, posteriors=post, **truths)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

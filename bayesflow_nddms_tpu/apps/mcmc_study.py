@@ -1,0 +1,125 @@
+"""Exact-likelihood MCMC study driver.
+
+Replaces ``basic_ddm_dc_pyjags.py`` / ``basic_ddm_dc_pystan2.py`` /
+``alpha_not_scaled.py``: generates hierarchical dcDDM test data with the
+exact sampler (the reference uses ``simulratcliff``, pyjags:45-94), fits
+the hierarchical model with vmapped HMC chains (instead of JAGS threads /
+Stan n_jobs), prints split-Rhat / ESS diagnostics, and reports recovery of
+the per-participant parameters. ``--covariate`` switches on the joint
+external-covariate model of ``alpha_not_scaled.py`` with its four test
+regimes sigma in {.5, .1, .01, .2-unlinked} (:73-81).
+
+    python -m bayesflow_nddms_tpu.apps.mcmc_study --nparts 20 \
+        --ntrials 100 --chains 6 --covariate --test-num 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diagnostics.convergence import diagnostic
+from ..diagnostics.recovery import pearson, rsquared_pred
+from ..mcmc import hmc as H
+from ..mcmc import models as M
+from ..ops.exact_sampler import simulate_participants
+
+_COV_SIGMA = {1: 0.5, 2: 0.1, 3: 0.01, 4: 0.2}  # alpha_not_scaled.py:73-81
+
+
+def generate_data(seed: int, nparts: int, ntrials: int,
+                  covariate: bool = False, test_num: int = 2):
+    """Hierarchical test data with the generating ranges of
+    basic_ddm_dc_pyjags.py:56-78 (uniform per-participant parameters)."""
+    rng = np.random.default_rng(seed)
+    ndt = rng.uniform(0.15, 0.6, nparts)
+    alpha = rng.uniform(0.8, 1.4, nparts)
+    beta = rng.uniform(0.3, 0.7, nparts)
+    delta = rng.uniform(-4, 4, nparts)
+    varsigma = rng.uniform(0.8, 1.4, nparts)
+    eta = rng.uniform(0, 2, nparts)
+
+    y = np.asarray(simulate_participants(
+        jax.random.PRNGKey(seed), nparts, ntrials,
+        jnp.asarray(alpha, jnp.float32), jnp.asarray(ndt, jnp.float32),
+        jnp.asarray(delta, jnp.float32), jnp.asarray(beta, jnp.float32),
+        jnp.asarray(eta, jnp.float32), jnp.asarray(varsigma, jnp.float32)))
+
+    truth = dict(ndt=ndt, alpha=alpha, beta=beta, delta=delta,
+                 varsigma=varsigma, eta=eta)
+    extdata = None
+    if covariate:
+        sigma = _COV_SIGMA[test_num]
+        loc = alpha if test_num != 4 else np.ones(nparts)
+        extdata = rng.normal(loc, sigma)   # alpha_not_scaled.py:103-106
+        truth["sigma"] = sigma
+    return y, truth, extdata
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--nparts", type=int, default=20)
+    p.add_argument("--ntrials", type=int, default=100)
+    p.add_argument("--chains", type=int, default=6)
+    p.add_argument("--warmup", type=int, default=500)
+    p.add_argument("--samples", type=int, default=1000)
+    p.add_argument("--thin", type=int, default=1)
+    p.add_argument("--covariate", action="store_true")
+    p.add_argument("--test-num", type=int, default=2, choices=[1, 2, 3, 4])
+    p.add_argument("--seed", type=int, default=2021)
+    p.add_argument("--out", default=None, help=".npz output path")
+    args = p.parse_args(argv)
+
+    y, truth, extdata = generate_data(args.seed, args.nparts, args.ntrials,
+                                      args.covariate, args.test_num)
+    part = np.repeat(np.arange(args.nparts), args.ntrials)
+    flat_y = y.ravel()
+    data = M.DcDDMData(
+        y=jnp.asarray(flat_y, jnp.float32),
+        participant=jnp.asarray(part, jnp.int32),
+        nparts=args.nparts,
+        extdata=None if extdata is None
+        else jnp.asarray(extdata, jnp.float32))
+
+    logprob, _, dim = M.make_logprob(data)
+    min_rt = np.array([np.abs(flat_y[part == i]).min()
+                       for i in range(args.nparts)])
+    q0 = M.initial_positions(jax.random.PRNGKey(args.seed + 1), data,
+                             args.chains, jnp.asarray(min_rt, jnp.float32))
+    print(f"Running {args.chains} HMC chains over {dim} parameters "
+          f"({args.nparts} participants x {args.ntrials} trials)...",
+          flush=True)
+    res = H.run_chains(logprob, q0, jax.random.PRNGKey(args.seed + 2),
+                       n_warmup=args.warmup, n_samples=args.samples,
+                       thin=args.thin)
+    print(f"accept rates: {np.asarray(res.accept_rate).round(2).tolist()}")
+
+    sdict = M.samples_to_dict(np.asarray(res.samples), data)
+    sdict = {k: np.asarray(v) for k, v in sdict.items()}
+    diags = diagnostic(sdict)
+
+    metrics = {}
+    for name in ["alpha", "ndt", "beta", "delta", "varsigma"]:
+        post_mean = sdict[name].mean(axis=(1, 2))
+        metrics[name] = {
+            "r2": rsquared_pred(truth[name], post_mean),
+            "rho": pearson(truth[name], post_mean),
+            "max_rhat": float(np.nanmax(diags[name]["rhat"])),
+            "min_neff": float(np.nanmin(diags[name]["neff"])),
+        }
+    if args.covariate:
+        metrics["sigma_posterior_mean"] = float(sdict["sigma"].mean())
+        metrics["sigma_true"] = truth["sigma"]
+    print(json.dumps(metrics, indent=2))
+    if args.out:
+        np.savez(args.out, **sdict, **{f"true_{k}": v
+                                       for k, v in truth.items()})
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

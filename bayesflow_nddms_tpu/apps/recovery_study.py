@@ -1,0 +1,109 @@
+"""Recovery-study driver: train (or restore) an amortizer, then validate
+parameter recovery on fresh simulated datasets.
+
+Replaces the flag-gated top half of every reference model script
+(``basic_ddm_dc.py:197-357``: train_fitter / make_recovery_plots): one
+command trains any zoo model, runs the batched recovery study, writes the
+recovery_scatter / per-parameter recovery / 2-D and 3-D posterior figures
+into ``recovery_plots/<model>/`` (same artifact layout), and prints the
+per-parameter R^2 / Pearson rho plus SBC p-values as JSON.
+
+    python -m bayesflow_nddms_tpu.apps.recovery_study \
+        --model basic_ddm_dc --steps 3000 --num-test 500 --draws 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from ..diagnostics import plots
+from ..diagnostics.recovery import (run_recovery_study, sbc_ranks,
+                                    sbc_uniformity_pvalue)
+from ..models import zoo
+from ..train.trainer import TrainConfig, Trainer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="basic_ddm_dc",
+                   choices=zoo.list_models())
+    p.add_argument("--steps", type=int, default=30_000)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--num-test", type=int, default=500)
+    p.add_argument("--draws", type=int, default=1000)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--plot-dir", default="recovery_plots")
+    p.add_argument("--seed", type=int, default=2023)
+    p.add_argument("--no-plots", action="store_true")
+    args = p.parse_args(argv)
+
+    spec = zoo.get_model(args.model)
+    ckpt = args.ckpt_dir or f"checkpoint/{args.model}"
+    cfg = TrainConfig(batch_size=args.batch_size, steps=args.steps,
+                      n_pad=spec.n_max, ckpt_dir=ckpt, seed=args.seed)
+    trainer = Trainer(spec, cfg)
+    state, history = trainer.train(
+        log_fn=lambda r: print(f"step {r['step']:>7} loss {r['loss']:+.3f} "
+                               f"val {r['val_loss']:+.3f}", flush=True))
+
+    study = run_recovery_study(
+        spec, trainer.amortizer, state.params,
+        jax.random.PRNGKey(args.seed), num_test=args.num_test,
+        n_draws=args.draws)
+    ranks = sbc_ranks(study.true_params, study.param_samples)
+    sbc_p = sbc_uniformity_pvalue(ranks, args.draws)
+
+    result = {
+        "model": args.model,
+        "steps": int(state.step),
+        "final_val_loss": history["val_loss"][-1] if history["val_loss"]
+        else None,
+        "metrics": study.metrics,
+        "sbc_pvalues": {n: float(v) for n, v in
+                        zip(spec.param_names, sbc_p)},
+        "mean_trials": float(study.n_trials.mean()),
+    }
+    print(json.dumps(result, indent=2))
+
+    if not args.no_plots:
+        pdir = os.path.join(args.plot_dir, args.model)
+        os.makedirs(pdir, exist_ok=True)
+        names = list(spec.param_names)
+        post_mean = study.param_samples.mean(axis=1)
+        fig = plots.recovery_scatter(study.true_params, post_mean, names,
+                                     figsize=(4 * len(names), 4))
+        fig.savefig(f"{pdir}/{args.model}_recovery_short.png", dpi=120)
+        fig = plots.plot_recovery(study.param_samples[:500],
+                                  study.true_params[:500], names)
+        fig.savefig(f"{pdir}/{args.model}_true_vs_estimate.png", dpi=120)
+        for i, n in enumerate(names):
+            fig = plots.recovery(study.param_samples[:, :, i, None],
+                                 study.true_params[:, i])
+            fig.savefig(f"{pdir}/{args.model}_{n}.png", dpi=120)
+        if history["loss"]:
+            fig = plots.plot_losses(history["loss"], history["val_loss"])
+            fig.savefig(f"{pdir}/{args.model}_validation.png", dpi=120)
+        # pairwise joint posteriors for the first parameters (2d) and a 3-D
+        # drift/boundary/dc figure when the model has those axes
+        if spec.n_params >= 2:
+            fig = plots.plot_posterior2d(
+                study.param_samples[:12, :, 0], study.param_samples[:12, :, 1],
+                [names[0], names[1]],
+                true_params=study.true_params[:12, :2], highlight=3)
+            fig.savefig(f"{pdir}/{args.model}_2d_posteriors.png", dpi=120)
+        if spec.n_params >= 3:
+            fig = plots.plot_posterior3d(
+                study.param_samples[3][:, :3], names[:3])
+            fig.savefig(f"{pdir}/{args.model}_3d_posterior.png", dpi=120)
+        import matplotlib.pyplot as plt
+        plt.close("all")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Pure-simulation figure drivers.
+
+Replaces ``simulations/Basic_DDM_simulations.py`` and
+``simulations/mean_RT_accuracy_effects.py``:
+
+  * ``identifiability_demo`` — the paper's central demonstration that
+    (drift, boundary, dc) are only identified up to a scalar from
+    choice-RT data alone: scalar-multiplied parameter sets give identical
+    predictions and identical EZ-diffusion estimates
+    (Basic_DDM_simulations.py:163-209);
+  * ``plot_paths`` — recorded evidence-accumulation trajectories
+    (:21-70), via the path-recording TPU kernel;
+  * ``parameter_sweeps`` — the 3x3 mean-accuracy / mean-RT / RT-variance
+    sweep over dc, drift, and boundary (mean_RT_accuracy_effects.py:
+    37-306), as one vectorized TPU call per axis instead of 50x200x300
+    nested Python loops.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.ddm_sim import first_passage, first_passage_with_path
+from ..ops.ez_diffusion import ez_diffusion
+
+Array = jax.Array
+
+
+def identifiability_demo(n: int = 100_000, seed: int = 2023) -> dict:
+    """Three scalar-multiplied parameter sets -> same behavior, same EZ
+    estimates; plus a dc manipulation that masquerades as drift+boundary
+    effects (Basic_DDM_simulations.py:163-209)."""
+    cases = {
+        "base (a=1.2, v=1.5, dc=1)": (1.2, 1.5, 1.0),
+        "x2   (a=2.4, v=3.0, dc=2)": (2.4, 3.0, 2.0),
+        "x5/6 (a=1.0, v=1.25, dc=.833)": (1.0, 1.25, 5.0 / 6.0),
+        "dc-effect (a=1.2, v=3, dc=2)": (1.2, 3.0, 2.0),
+        "dc-masked (a=1.2, v=1.5, dc=.5)": (1.2, 1.5, 0.5),
+    }
+    out = {}
+    for label, (a, v, dc) in cases.items():
+        fp = first_passage(jax.random.PRNGKey(seed), v, a, 0.5, dc,
+                           shape=(1, n), dt=0.001, max_steps=8000)
+        ch = np.asarray(fp.choice[0]).astype(int)
+        t = np.asarray(fp.steps[0]) * 0.001
+        hit = ch != 0
+        acc = (ch[hit] == 1).astype(float)
+        est = ez_diffusion(t[hit], acc)
+        out[label] = {
+            "accuracy": float(acc.mean()),
+            "mean_rt": float(t[hit].mean()),
+            "ez_drift": float(est.drift),
+            "ez_boundary": float(est.boundary),
+        }
+    return out
+
+
+def plot_paths(n_paths: int = 10, boundary: float = 1.2, drift: float = 1.5,
+               dc: float = 1.0, dt: float = 0.001, n_record: int = 3000,
+               seed: int = 2023):
+    """Evidence trajectories for path figures (Basic_DDM_simulations.py:
+    21-70). Returns (times, paths (n_paths, n_record), fp)."""
+    fp, paths = first_passage_with_path(
+        jax.random.PRNGKey(seed), drift, boundary,
+        jnp.full((1, n_paths), 0.5), dc, dt=dt, max_steps=n_record,
+        n_record=n_record)
+    times = np.arange(1, n_record + 1) * dt
+    return times, np.asarray(paths[0]), fp
+
+
+def parameter_sweeps(n_points: int = 50, n_trials: int = 4096,
+                     seed: int = 0) -> dict:
+    """Mean accuracy / mean RT / RT variance as functions of dc, drift, and
+    boundary (mean_RT_accuracy_effects.py 3x3 figure). One batched kernel
+    call per swept axis."""
+    key = jax.random.PRNGKey(seed)
+    base = dict(drift=1.0, boundary=1.2, dc=1.0)
+    sweeps = {
+        "dc": np.linspace(0.5, 2.0, n_points),
+        "drift": np.linspace(-4.0, 4.0, n_points),
+        "boundary": np.linspace(0.5, 2.0, n_points),
+    }
+    results = {}
+    for axis, values in sweeps.items():
+        params = {k: jnp.full((n_points, 1), v) for k, v in base.items()}
+        params[axis] = jnp.asarray(values, jnp.float32)[:, None]
+        fp = first_passage(jax.random.fold_in(key, hash(axis) % 1000),
+                           params["drift"], params["boundary"],
+                           jnp.float32(0.5), params["dc"],
+                           shape=(n_points, n_trials), dt=0.01,
+                           max_steps=300)
+        ch = np.asarray(fp.choice).astype(int)
+        t = np.asarray(fp.steps) * 0.01
+        hit = ch != 0
+        acc = np.where(hit, (ch == 1).astype(float), np.nan)
+        rts = np.where(hit, t, np.nan)
+        results[axis] = {
+            "values": values.tolist(),
+            "accuracy": np.nanmean(acc, axis=1).tolist(),
+            "mean_rt": np.nanmean(rts, axis=1).tolist(),
+            "var_rt": np.nanvar(rts, axis=1).tolist(),
+        }
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--what", default="identifiability",
+                   choices=["identifiability", "sweeps", "paths"])
+    p.add_argument("--plot-dir", default="simulation_plots")
+    args = p.parse_args(argv)
+    if args.what == "identifiability":
+        print(json.dumps(identifiability_demo(), indent=2))
+    elif args.what == "sweeps":
+        res = parameter_sweeps()
+        import os
+        os.makedirs(args.plot_dir, exist_ok=True)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(3, 3, figsize=(12, 10))
+        for col, (axis, r) in enumerate(res.items()):
+            for row, stat in enumerate(["accuracy", "mean_rt", "var_rt"]):
+                axes[row][col].plot(r["values"], r[stat])
+                axes[row][col].set_xlabel(axis)
+                axes[row][col].set_ylabel(stat)
+        fig.tight_layout()
+        fig.savefig(f"{args.plot_dir}/mean_rt_accuracy_effects.png", dpi=120)
+        print(f"saved {args.plot_dir}/mean_rt_accuracy_effects.png")
+    else:
+        times, paths, fp = plot_paths()
+        import os
+        os.makedirs(args.plot_dir, exist_ok=True)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(9, 5))
+        for i in range(paths.shape[0]):
+            ax.plot(times, paths[i], lw=0.8)
+        ax.axhline(1.2, color="k")
+        ax.axhline(0.0, color="k")
+        ax.set_xlabel("time (s)")
+        ax.set_ylabel("evidence")
+        fig.savefig(f"{args.plot_dir}/ddm_paths.png", dpi=120)
+        print(f"saved {args.plot_dir}/ddm_paths.png")
+
+
+if __name__ == "__main__":
+    main()
