@@ -90,10 +90,12 @@ class Trainer:
                 f"batch_size {config.batch_size} not divisible by "
                 f"{self.n_dev} devices")
         self.local_batch = config.batch_size // self.n_dev
+        self.inner_steps = max(1, min(config.inner_steps, config.steps))
         self.amortizer = amortizer if amortizer is not None \
             else build_amortizer(spec)
+        warmup = min(config.warmup, max(config.steps // 10, 1))
         schedule = optax.warmup_cosine_decay_schedule(
-            0.0, config.lr, config.warmup, max(config.steps, 2))
+            0.0, config.lr, warmup, max(config.steps, warmup + 1))
         self.tx = optax.chain(optax.clip_by_global_norm(5.0),
                               optax.adam(schedule))
         self.base_key = jax.random.PRNGKey(config.seed)
@@ -134,7 +136,7 @@ class Trainer:
 
         def chunk(state: State):
             return lax.scan(one_step, state, None,
-                            length=self.config.inner_steps)
+                            length=self.inner_steps)
 
         self._chunk = jax.jit(shard_map(
             chunk, mesh=self.mesh, in_specs=(spec_p,),
@@ -165,10 +167,10 @@ class Trainer:
         if cfg.ckpt_dir is not None:
             state = self.maybe_restore(state)
         history = {"step": [], "loss": [], "val_loss": [], "sec": []}
-        n_chunks = -(-cfg.steps // cfg.inner_steps)
+        n_chunks = -(-cfg.steps // self.inner_steps)
         t_start = time.time()
         start_step = int(state.step)
-        for c in range(start_step // cfg.inner_steps, n_chunks):
+        for c in range(start_step // self.inner_steps, n_chunks):
             state, losses = self._chunk(state)
             step = int(state.step)
             vl = float(self._val(state.params,

@@ -1,0 +1,112 @@
+"""App-driver integration tests on the CPU mesh with tiny budgets:
+recovery study end-to-end, Stahl fitting on a synthetic fixture CSV,
+imputation pipeline, misspecification generators, simulation figures."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _write_fixture_csv(path, n_subj=5, n_trials=40, seed=0):
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        f.write("subj_idx,rt,response,type,pre_Ne,pre_Pe\n")
+        for s in range(1, n_subj + 1):
+            for _ in range(n_trials):
+                rt = rng.uniform(0.25, 1.4)
+                resp = rng.integers(0, 2)
+                ne = rng.normal()
+                pe = 0.5 * ne + rng.normal()
+                f.write(f"{s},{rt:.4f},{resp},go,{ne:.4f},{pe:.4f}\n")
+    return path
+
+
+def test_stahl_loader_and_padding(tmp_path):
+    from bayesflow_nddms_tpu.data.stahl import load_stahl_csv, to_padded_batch
+    csv = _write_fixture_csv(tmp_path / "fix.csv")
+    d = load_stahl_csv(str(csv))
+    assert len(d.participants) == 5
+    # residualization must remove the Ne component: corr(resid, Ne) ~ 0
+    r = np.corrcoef(d.normalized_ne,
+                    d.alpha_like_pe * 3 - 3)[0, 1]
+    assert abs(r) < 1e-6
+    # alpha-like scaling: mean 1, sd 1/3 (fitting_stahl_data.py:109)
+    assert abs(d.alpha_like_pe.mean() - 1.0) < 1e-6
+    assert abs(d.alpha_like_pe.std() - 1 / 3) < 1e-6
+    data, mask, log_n, parts, counts = to_padded_batch(d, "pe")
+    assert data.shape == (5, 40, 2) and mask.all()
+    np.testing.assert_allclose(np.exp(log_n[:, 0]), counts)
+
+
+def test_recovery_study_app_tiny(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from bayesflow_nddms_tpu.apps.recovery_study import main
+    res = main(["--model", "basic_ddm", "--steps", "20",
+                "--batch-size", "16", "--num-test", "16", "--draws", "32",
+                "--no-plots"])
+    assert set(res["metrics"]) == {"drift", "alpha", "beta", "ter"}
+    assert res["steps"] == 20
+
+
+def test_fit_stahl_app_tiny(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    csv = _write_fixture_csv(tmp_path / "fix.csv")
+    from bayesflow_nddms_tpu.apps.fit_stahl import main
+    post, parts = main(["--csv", str(csv), "--draws", "16",
+                        "--ckpt-dir", str(tmp_path / "ck"), "--no-plots"])
+    assert post.shape == (5, 16, 8)
+    assert np.all((post[..., 7] >= 0) & (post[..., 7] <= 1))  # prop_cog_var
+
+
+def test_imputation_app_tiny(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    csv = _write_fixture_csv(tmp_path / "fix.csv")
+    from bayesflow_nddms_tpu.apps.imputation import main
+    metrics = main(["--csv", str(csv), "--draws", "16",
+                    "--ckpt-dir", str(tmp_path / "ck")])
+    assert "drift" in metrics and "mu_alpha" in metrics
+
+
+def test_misspecification_generators():
+    import jax
+    from bayesflow_nddms_tpu.apps.misspecification import alternative_truths
+    from bayesflow_nddms_tpu.models.spec import generate_training_batch
+    for name, spec in alternative_truths().items():
+        if name == "fine_dt":
+            continue  # 4000-step sim is slow on CPU; covered on TPU runs
+        theta, data, mask, log_n = generate_training_batch(
+            spec, jax.random.PRNGKey(0), 2, 32)
+        assert data.shape == (2, 32, 2), name
+        assert np.isfinite(np.asarray(data)).all(), name
+
+
+def test_simulations_sweeps_monotonicity():
+    from bayesflow_nddms_tpu.apps.simulations import parameter_sweeps
+    res = parameter_sweeps(n_points=8, n_trials=2048)
+    # higher boundary -> slower and more accurate (for positive drift)
+    acc = np.array(res["boundary"]["accuracy"])
+    mrt = np.array(res["boundary"]["mean_rt"])
+    assert acc[-1] > acc[0]
+    assert mrt[-1] > mrt[0]
+    # drift sweep: accuracy increases with drift
+    acc_d = np.array(res["drift"]["accuracy"])
+    assert acc_d[-1] > 0.9 and acc_d[0] < 0.1
+    # dc sweep: higher dc -> less accurate (fixed boundary), faster
+    acc_dc = np.array(res["dc"]["accuracy"])
+    mrt_dc = np.array(res["dc"]["mean_rt"])
+    assert acc_dc[-1] < acc_dc[0]
+    assert mrt_dc[-1] < mrt_dc[0]
+
+
+def test_metrics_logger(tmp_path):
+    from bayesflow_nddms_tpu.utils.profiling import MetricsLogger, Throughput
+    log = MetricsLogger(str(tmp_path / "run.jsonl"))
+    log.log(step=1, loss=3.0)
+    log.log(step=2, loss=2.0)
+    recs = log.read()
+    assert [r["step"] for r in recs] == [1, 2]
+    tp = Throughput()
+    assert tp.update(100) is None
+    assert tp.update(100) is not None and tp.total == 200
