@@ -605,15 +605,25 @@ SINGLE_TRIAL_ALPHA_NOT_SCALED3 = _make_alpha_gamma_dependent(
 # Family F: evidence-path observation (ERP of the accumulation path)
 # ---------------------------------------------------------------------------
 
-def _make_evidence_model():
-    """dcDDM whose observation includes a 200-sample noisy standardized ERP
-    of the evidence path (retired_models/basic_ddm_dc_evidence.py:88-151).
-    dt=.001, 4 s cap; channels = (rt, choice, 200 path samples)."""
+def _make_evidence_model(name="basic_ddm_dc_evidence", n_rec=200,
+                         sigma_prior=P_SIGMA, fixed_sigma=None,
+                         standardize="per_trial",
+                         cite="Evidence-path observation family "
+                              "(retired_models/basic_ddm_dc_evidence.py"
+                              ":88-151)."):
+    """dcDDM whose observation includes an n_rec-sample noisy standardized
+    ERP of the evidence path (retired_models/basic_ddm_dc_evidence.py:
+    88-151 and its 2/no_noise/no_noise2/trainlow variants). dt=.001, 4 s
+    cap; channels = (rt, choice, n_rec path samples)."""
     from ..ops.ddm_sim import first_passage_with_path
 
-    param_names = ("drift", "alpha", "beta", "ter", "dc", "sigma1")
-    prior = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_DC, P_SIGMA)
-    dt, max_steps, n_rec = 0.001, 4000, 200
+    if fixed_sigma is None:
+        param_names = ("drift", "alpha", "beta", "ter", "dc", "sigma1")
+        prior = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_DC, sigma_prior)
+    else:
+        param_names = ("drift", "alpha", "beta", "ter", "dc")
+        prior = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_DC)
+    dt, max_steps = 0.001, 4000
 
     def custom_simulate(key, theta, n_trials, active):
         k_walk, k_noise = jax.random.split(key)
@@ -628,23 +638,53 @@ def _make_evidence_model():
             jnp.broadcast_to(_col(th["dc"]), shape),
             dt=dt, max_steps=max_steps, n_record=n_rec)
         rt = fp.steps.astype(jnp.float32) * dt + _col(th["ter"])
-        noisy = path + _col(th["sigma1"])[..., None] * \
-            jax.random.normal(k_noise, path.shape)
-        mu = jnp.mean(noisy, axis=-1, keepdims=True)
-        sd = jnp.std(noisy, axis=-1, keepdims=True) + 1e-8
+        sig = (jnp.float32(fixed_sigma) if fixed_sigma is not None
+               else _col(th["sigma1"])[..., None])
+        noisy = path + sig * jax.random.normal(k_noise, path.shape)
+        if standardize == "per_trial":
+            # per-trial z-scoring (basic_ddm_dc_evidence.py:148-150)
+            mu = jnp.mean(noisy, axis=-1, keepdims=True)
+            sd = jnp.std(noisy, axis=-1, keepdims=True) + 1e-8
+        else:
+            # dataset-level: standardize by the stats of per-trial path
+            # means (basic_ddm_dc_evidence2.py:136-145)
+            path_means = jnp.mean(noisy, axis=-1)            # (B, N)
+            mu = jnp.mean(path_means, axis=-1)[:, None, None]
+            sd = jnp.std(path_means, axis=-1)[:, None, None] + 1e-8
         obs_path = (noisy - mu) / sd
         return jnp.concatenate(
             [rt[..., None], fp.choice.astype(jnp.float32)[..., None],
              obs_path], axis=-1)
 
     spec = ModelSpec(
-        name="basic_ddm_dc_evidence", param_names=param_names, prior=prior,
+        name=name, param_names=param_names, prior=prior,
         trial_fn=_trial_fixed, obs_fn=lambda *a: None,
         n_channels=2 + n_rec, dt=dt, max_steps=max_steps,
-        custom_simulate=custom_simulate,
-        doc="Evidence-path observation family (retired_models/"
-            "basic_ddm_dc_evidence.py:88-151).")
+        custom_simulate=custom_simulate, doc=cite)
     return register(spec)
 
 
 BASIC_DDM_DC_EVIDENCE = _make_evidence_model()
+BASIC_DDM_DC_EVIDENCE2 = _make_evidence_model(
+    "basic_ddm_dc_evidence2", standardize="dataset",
+    cite="Dataset-level path standardization (retired_models/"
+         "basic_ddm_dc_evidence2.py:119-145).")
+BASIC_DDM_DC_EVIDENCE_NO_NOISE = _make_evidence_model(
+    "basic_ddm_dc_evidence_no_noise", fixed_sigma=0.001,
+    cite="Near-noiseless 200 ms path (retired_models/"
+         "basic_ddm_dc_evidence_no_noise.py:84-131).")
+BASIC_DDM_DC_EVIDENCE_NO_NOISE2 = _make_evidence_model(
+    "basic_ddm_dc_evidence_no_noise2", n_rec=400, fixed_sigma=0.001,
+    cite="Near-noiseless 400 ms path (retired_models/"
+         "basic_ddm_dc_evidence_no_noise2.py:93).")
+BASIC_DDM_DC_EVIDENCE_TRAINLOW = _make_evidence_model(
+    "basic_ddm_dc_evidence_trainlow",
+    sigma_prior=dists.uniform(0.0, 0.25),
+    cite="Low-noise training prior sigma1 ~ U(0,.25) (retired_models/"
+         "basic_ddm_dc_evidence_trainlow.py:77-78).")
+
+# the only non-default network config in the reference: summary_dim=64
+# (retired_models/single_trial_alpha_dc2.py:284)
+import dataclasses as _dc
+SINGLE_TRIAL_ALPHA_DC2 = register(_dc.replace(
+    SINGLE_TRIAL_ALPHA_DC, name="single_trial_alpha_dc2", summary_dim=64))
