@@ -26,6 +26,7 @@ from ..diagnostics.convergence import diagnostic
 from ..diagnostics.recovery import pearson, rsquared_pred
 from ..mcmc import hmc as H
 from ..mcmc import models as M
+from ..mcmc import nuts as N
 from ..ops.exact_sampler import simulate_participants
 
 _COV_SIGMA = {1: 0.5, 2: 0.1, 3: 0.01, 4: 0.2}  # alpha_not_scaled.py:73-81
@@ -68,6 +69,8 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=500)
     p.add_argument("--samples", type=int, default=1000)
     p.add_argument("--thin", type=int, default=1)
+    p.add_argument("--sampler", default="nuts", choices=["nuts", "hmc"])
+    p.add_argument("--max-depth", type=int, default=9)
     p.add_argument("--covariate", action="store_true")
     p.add_argument("--test-num", type=int, default=2, choices=[1, 2, 3, 4])
     p.add_argument("--seed", type=int, default=2021)
@@ -90,13 +93,21 @@ def main(argv=None):
                        for i in range(args.nparts)])
     q0 = M.initial_positions(jax.random.PRNGKey(args.seed + 1), data,
                              args.chains, jnp.asarray(min_rt, jnp.float32))
-    print(f"Running {args.chains} HMC chains over {dim} parameters "
-          f"({args.nparts} participants x {args.ntrials} trials)...",
-          flush=True)
-    res = H.run_chains(logprob, q0, jax.random.PRNGKey(args.seed + 2),
-                       n_warmup=args.warmup, n_samples=args.samples,
-                       thin=args.thin)
-    print(f"accept rates: {np.asarray(res.accept_rate).round(2).tolist()}")
+    print(f"Running {args.chains} {args.sampler.upper()} chains over {dim} "
+          f"parameters ({args.nparts} participants x {args.ntrials} "
+          f"trials)...", flush=True)
+    if args.sampler == "nuts":
+        res = N.run_chains(logprob, q0, jax.random.PRNGKey(args.seed + 2),
+                           n_warmup=args.warmup, n_samples=args.samples,
+                           thin=args.thin, max_depth=args.max_depth)
+        print(f"accept: {np.asarray(res.accept_prob).round(2).tolist()} "
+              f"depth: {np.asarray(res.mean_depth).round(1).tolist()}")
+    else:
+        res = H.run_chains(logprob, q0, jax.random.PRNGKey(args.seed + 2),
+                           n_warmup=args.warmup, n_samples=args.samples,
+                           thin=args.thin)
+        print(f"accept rates: "
+              f"{np.asarray(res.accept_rate).round(2).tolist()}")
 
     sdict = M.samples_to_dict(np.asarray(res.samples), data)
     sdict = {k: np.asarray(v) for k, v in sdict.items()}

@@ -1,0 +1,268 @@
+"""No-U-Turn Sampler (NUTS), iterative fixed-shape formulation.
+
+Full parity with the reference's Stan backend
+(``basic_ddm_dc_pystan2.py:244-246`` runs NUTS) on TPU: multinomial
+trajectory sampling over doubling trajectories with rigorous sub-tree
+U-turn checks, implemented iteratively with a checkpoint stack so every
+shape is static under jit (Hoffman & Gelman 2014; iterative scheme after
+Phan et al. 2019).
+
+Key structure: a trajectory doubles up to ``max_depth`` times. Each
+doubling runs ``2^d`` leapfrog leaves in one direction. Within a subtree,
+leaf ``n`` (1-based):
+
+  * odd  n  -> store (q, p) at checkpoint slot popcount(n-1); it is the
+    start of every power-of-two-aligned subtree beginning at n;
+  * even n  -> for each s in {2, 4, ..., 2^ctz(n)} the aligned subtree
+    [n-s+1, n] completes; U-turn-check the stored start state (slot
+    popcount(n-s)) against the current leaf.
+
+Proposals are multinomial within subtrees and biased-progressive across
+doublings. Warmup shares the dual-averaging + diagonal-mass machinery
+with ``mcmc/hmc.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+class NUTSResult(NamedTuple):
+    samples: Array        # (n_samples, dim)
+    accept_prob: Array    # () mean acceptance statistic
+    step_size: Array
+    inv_mass: Array
+    mean_depth: Array     # () average terminal doubling depth
+
+
+def _popcount(n: Array) -> Array:
+    n = n.astype(jnp.uint32)
+    n = n - ((n >> 1) & 0x55555555)
+    n = (n & 0x33333333) + ((n >> 2) & 0x33333333)
+    n = (n + (n >> 4)) & 0x0F0F0F0F
+    return ((n * 0x01010101) >> 24).astype(jnp.int32)
+
+
+def _is_turning(q_minus, p_minus, q_plus, p_plus, inv_mass):
+    dq = q_plus - q_minus
+    return (jnp.dot(dq, inv_mass * p_minus) < 0.0) | \
+           (jnp.dot(dq, inv_mass * p_plus) < 0.0)
+
+
+def _nuts_transition(logprob_fn, grad_fn, q0, key, eps, inv_mass,
+                     max_depth: int):
+    """One NUTS transition. Returns (q_new, mean_accept_prob, depth)."""
+    dim = q0.shape[-1]
+    k_mom, k_dir, k_leaf, k_prop = jax.random.split(key, 4)
+    p0 = jax.random.normal(k_mom, (dim,)) / jnp.sqrt(inv_mass)
+    h0 = -logprob_fn(q0) + 0.5 * jnp.sum(inv_mass * p0 * p0)
+
+    def leapfrog(q, p, direction):
+        e = direction * eps
+        p = p + 0.5 * e * grad_fn(q)
+        q = q + e * inv_mass * p
+        p = p + 0.5 * e * grad_fn(q)
+        return q, p
+
+    # trajectory state
+    class T(NamedTuple):
+        q_left: Array
+        p_left: Array
+        q_right: Array
+        p_right: Array
+        q_prop: Array      # current multinomial proposal
+        log_w: Array       # logsumexp of weights over whole trajectory
+        sum_acc: Array     # sum of per-leaf accept probabilities
+        n_leaves: Array
+        turning: Array
+        diverging: Array
+
+    t0 = T(q0, p0, q0, p0, q0, jnp.zeros(()), jnp.zeros(()),
+           jnp.zeros((), jnp.int32), jnp.array(False), jnp.array(False))
+
+    def build_subtree(t: T, d: int, direction, key):
+        """Add 2^d leaves in `direction`; returns updated T."""
+        n_leaf = 2 ** d
+        ckpt_q = jnp.zeros((max_depth + 1, dim))
+        ckpt_p = jnp.zeros((max_depth + 1, dim))
+
+        # subtree-local accumulators
+        class S(NamedTuple):
+            q: Array
+            p: Array
+            q_prop: Array
+            log_w: Array       # logsumexp over subtree
+            sum_acc: Array
+            turning: Array
+            diverging: Array
+            ckpt_q: Array
+            ckpt_p: Array
+
+        q_edge = jnp.where(direction > 0, t.q_right, t.q_left)
+        p_edge = jnp.where(direction > 0, t.p_right, t.p_left)
+        s0 = S(q_edge, p_edge, q_edge, -jnp.inf, jnp.zeros(()),
+               jnp.array(False), jnp.array(False), ckpt_q, ckpt_p)
+
+        def leaf_body(i, s_key):
+            s, key = s_key
+            key, k_mn = jax.random.split(key)
+            n = i + 1  # 1-based leaf index
+            q, p = leapfrog(s.q, s.p, direction)
+            h = -logprob_fn(q) + 0.5 * jnp.sum(inv_mass * p * p)
+            w = h0 - h                         # log weight relative to h0
+            diverging = s.diverging | (w < -1000.0) | ~jnp.isfinite(w)
+            acc = jnp.exp(jnp.minimum(w, 0.0))
+
+            # multinomial proposal within the subtree
+            log_w_new = jnp.logaddexp(s.log_w, w)
+            take = jnp.log(jax.random.uniform(k_mn)) < (w - log_w_new)
+            q_prop = jnp.where(take, q, s.q_prop)
+
+            # checkpoint store (odd n)
+            slot = _popcount(n - 1)
+            is_odd = (n % 2) == 1
+            ckpt_q = jnp.where(
+                is_odd, s.ckpt_q.at[slot].set(q), s.ckpt_q)
+            ckpt_p = jnp.where(
+                is_odd, s.ckpt_p.at[slot].set(p), s.ckpt_p)
+
+            # U-turn checks (even n): aligned subtrees ending at n
+            def check_turn(carry, j):
+                turning = carry
+                # subtree size 2^(j+1); start leaf m = n - 2^(j+1) + 1
+                size = 2 ** (j + 1)
+                active = (n % size == 0) & (size <= n)
+                m = n - size + 1
+                cslot = _popcount(jnp.maximum(m - 1, 0))
+                qs = ckpt_q[cslot]
+                ps = ckpt_p[cslot]
+                # orient: ckpt state is the earlier one along integration
+                turn = jnp.where(
+                    direction > 0,
+                    _is_turning(qs, ps, q, p, inv_mass),
+                    _is_turning(q, p, qs, ps, inv_mass))
+                return turning | (active & turn), None
+            turning, _ = lax.scan(check_turn, s.turning,
+                                  jnp.arange(max_depth))
+
+            new_s = S(q, p, q_prop, log_w_new, s.sum_acc + acc,
+                      turning, diverging, ckpt_q, ckpt_p)
+            # freeze once turning/diverging (subtree is invalid anyway)
+            frozen = s.turning | s.diverging
+            s = jax.tree.map(
+                lambda a, b: jnp.where(frozen, a, b), s, new_s)
+            return (s, key)
+
+        s, _ = lax.fori_loop(0, n_leaf, leaf_body, (s0, key))
+        return s
+
+    def doubling(d, t, key):
+        k_dir, k_bias, k_sub = jax.random.split(key, 3)
+        direction = jnp.where(jax.random.bernoulli(k_dir), 1.0, -1.0)
+        s = build_subtree(t, d, direction, k_sub)
+
+        invalid = s.turning | s.diverging
+        # biased progressive: accept new subtree's proposal with prob
+        # min(1, W_new / W_old)
+        take = (jnp.log(jax.random.uniform(k_bias)) <
+                (s.log_w - t.log_w)) & ~invalid
+        q_prop = jnp.where(take, s.q_prop, t.q_prop)
+        log_w = jnp.logaddexp(t.log_w, jnp.where(invalid, -jnp.inf, s.log_w))
+
+        q_left = jnp.where(direction > 0, t.q_left, s.q)
+        p_left = jnp.where(direction > 0, t.p_left, s.p)
+        q_right = jnp.where(direction > 0, s.q, t.q_right)
+        p_right = jnp.where(direction > 0, s.p, t.p_right)
+        full_turn = _is_turning(q_left, p_left, q_right, p_right, inv_mass)
+        return T(q_left, p_left, q_right, p_right, q_prop, log_w,
+                 t.sum_acc + s.sum_acc, t.n_leaves + 2 ** d,
+                 t.turning | s.turning | full_turn, t.diverging | s.diverging)
+
+    # unrolled doublings with freezing after termination
+    t = t0
+    key_loop = k_leaf
+    depth_done = jnp.zeros((), jnp.int32)
+    for d in range(max_depth):
+        key_loop, k_d = jax.random.split(key_loop)
+        t_new = doubling(d, t, k_d)
+        stopped = t.turning | t.diverging
+        depth_done = jnp.where(stopped, depth_done, d + 1)
+        t = jax.tree.map(lambda a, b: jnp.where(stopped, a, b), t, t_new)
+
+    mean_acc = t.sum_acc / jnp.maximum(t.n_leaves, 1)
+    return t.q_prop, mean_acc, depth_done
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "logprob_fn", "n_warmup", "n_samples", "max_depth", "thin"))
+def nuts(logprob_fn: Callable[[Array], Array], q0: Array, key: Array,
+         n_warmup: int = 500, n_samples: int = 1000, max_depth: int = 8,
+         target_accept: float = 0.8, thin: int = 1,
+         init_step_size: float = 0.05) -> NUTSResult:
+    """Single-chain NUTS; vmap over (q0, key) for chains."""
+    dim = q0.shape[-1]
+    grad_fn = jax.grad(logprob_fn)
+
+    def transition(q, key, eps, inv_mass):
+        return _nuts_transition(logprob_fn, grad_fn, q, key, eps, inv_mass,
+                                max_depth)
+
+    mu = jnp.log(10.0 * init_step_size)
+    gamma, t0c, kappa = 0.05, 10.0, 0.75
+
+    def warmup_body(carry, i):
+        (q, key, log_eps, log_eps_bar, h_bar, mean, m2, inv_mass) = carry
+        key, k = jax.random.split(key)
+        q, a_prob, _ = transition(q, k, jnp.exp(log_eps), inv_mass)
+        t = i + 1.0
+        h_bar = (1 - 1 / (t + t0c)) * h_bar + \
+            (target_accept - a_prob) / (t + t0c)
+        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+        w = t ** (-kappa)
+        log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
+        delta = q - mean
+        mean = mean + delta / t
+        m2 = m2 + delta * (q - mean)
+        var = m2 / jnp.maximum(t - 1.0, 1.0)
+        inv_mass = jnp.where(i == (n_warmup * 3) // 4,
+                             jnp.maximum(var, 1e-4), inv_mass)
+        return (q, key, log_eps, log_eps_bar, h_bar, mean, m2, inv_mass), None
+
+    init = (q0, key, jnp.log(init_step_size), jnp.log(init_step_size),
+            0.0, jnp.zeros(dim), jnp.zeros(dim), jnp.ones(dim))
+    (q, key, _, log_eps_bar, _, _, _, inv_mass), _ = lax.scan(
+        warmup_body, init, jnp.arange(n_warmup, dtype=jnp.float32))
+    eps = jnp.exp(log_eps_bar)
+
+    def sample_body(carry, _):
+        q, key, acc_sum, depth_sum = carry
+        def inner(c, _):
+            q, k2, acc_sum, depth_sum = c
+            k2, kk = jax.random.split(k2)
+            q, a, d = transition(q, kk, eps, inv_mass)
+            return (q, k2, acc_sum + a, depth_sum + d), None
+        (q, key, acc_sum, depth_sum), _ = lax.scan(
+            inner, (q, key, acc_sum, depth_sum), None, length=thin)
+        return (q, key, acc_sum, depth_sum), q
+
+    (q, key, acc_sum, depth_sum), samples = lax.scan(
+        sample_body,
+        (q, key, jnp.zeros(()), jnp.zeros((), jnp.int32)), None,
+        length=n_samples)
+    n_trans = n_samples * thin
+    return NUTSResult(samples=samples, accept_prob=acc_sum / n_trans,
+                      step_size=eps, inv_mass=inv_mass,
+                      mean_depth=depth_sum / n_trans)
+
+
+def run_chains(logprob_fn, q0s: Array, key: Array, **kw) -> NUTSResult:
+    """vmap over chains; q0s (chains, dim)."""
+    keys = jax.random.split(key, q0s.shape[0])
+    return jax.vmap(lambda q, k: nuts(logprob_fn, q, k, **kw))(q0s, keys)

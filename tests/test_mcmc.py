@@ -140,3 +140,68 @@ def test_hierarchical_dcddm_small_recovery():
     post_delta = np.asarray(sdict["delta"]).mean(axis=(1, 2))
     assert np.corrcoef(post_delta, delta)[0, 1] > 0.9
     assert np.corrcoef(post_alpha, alpha)[0, 1] > 0.5
+
+
+def test_nuts_gaussian_target():
+    """NUTS must recover mean/cov of a correlated Gaussian with healthy
+    acceptance and adaptive depth."""
+    from bayesflow_nddms_tpu.mcmc import nuts as N
+    cov = jnp.array([[1.0, 0.6], [0.6, 2.0]])
+    prec = jnp.linalg.inv(cov)
+    mu = jnp.array([1.0, -2.0])
+
+    def logp(q):
+        d = q - mu
+        return -0.5 * d @ prec @ d
+
+    q0 = jnp.zeros((4, 2))
+    res = N.run_chains(logp, q0, jax.random.PRNGKey(0), n_warmup=300,
+                       n_samples=600, max_depth=6)
+    samp = np.asarray(res.samples).reshape(-1, 2)
+    assert np.all(np.asarray(res.accept_prob) > 0.6)
+    assert float(np.asarray(res.mean_depth).mean()) >= 1.0
+    np.testing.assert_allclose(samp.mean(0), np.asarray(mu), atol=0.15)
+    np.testing.assert_allclose(samp.var(0), np.diag(np.asarray(cov)),
+                               rtol=0.25)
+    # chains must mix: split-Rhat close to 1
+    from bayesflow_nddms_tpu.diagnostics.convergence import split_rhat
+    # (chains, samples, dim) -> (dim, samples, chains)
+    r = split_rhat(np.transpose(np.asarray(res.samples), (2, 1, 0)))
+    assert np.all(r < 1.05)
+
+
+def test_nuts_matches_hmc_on_dcddm_subset():
+    """NUTS and HMC posteriors must agree on a small dcDDM fit (cross-
+    sampler agreement, the reference's JAGS-vs-Stan check)."""
+    from bayesflow_nddms_tpu.mcmc import nuts as N
+    rng = np.random.default_rng(9)
+    P, T = 3, 200
+    alpha = rng.uniform(1.0, 1.3, P)
+    ndt = rng.uniform(0.25, 0.4, P)
+    beta = np.full(P, 0.5)
+    delta = rng.uniform(-2, 2, P)
+    varsigma = rng.uniform(0.9, 1.2, P)
+    fp = first_passage(
+        jax.random.PRNGKey(1),
+        jnp.asarray(delta)[:, None], jnp.asarray(alpha)[:, None],
+        jnp.asarray(beta)[:, None], jnp.asarray(varsigma)[:, None],
+        shape=(P, T), dt=0.001, max_steps=15_000)
+    rt = np.asarray(fp.steps) * 0.001 + ndt[:, None]
+    y = (rt * np.asarray(fp.choice).astype(int)).ravel()
+    part = np.repeat(np.arange(P), T)
+    keep = y != 0
+    data = M.DcDDMData(y=jnp.asarray(y[keep], jnp.float32),
+                       participant=jnp.asarray(part[keep], jnp.int32),
+                       nparts=P)
+    logprob, _, dim = M.make_logprob(data)
+    q0 = M.initial_positions(jax.random.PRNGKey(2), data, 2)
+    res_h = H.run_chains(logprob, q0, jax.random.PRNGKey(3), n_warmup=300,
+                         n_samples=300, n_leapfrog=24)
+    res_n = N.run_chains(logprob, q0, jax.random.PRNGKey(4), n_warmup=300,
+                         n_samples=300, max_depth=7)
+    d_h = M.samples_to_dict(np.asarray(res_h.samples), data)
+    d_n = M.samples_to_dict(np.asarray(res_n.samples), data)
+    for name in ["delta", "ndt"]:
+        mh = np.asarray(d_h[name]).mean(axis=(1, 2))
+        mn = np.asarray(d_n[name]).mean(axis=(1, 2))
+        np.testing.assert_allclose(mh, mn, atol=0.15)
