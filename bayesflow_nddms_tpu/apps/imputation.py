@@ -15,13 +15,11 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.stahl import load_stahl_csv
 from ..diagnostics.recovery import pearson, rsquared_pred
 from ..models import zoo
 from ..ops.ddm_sim import first_passage

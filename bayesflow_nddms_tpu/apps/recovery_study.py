@@ -19,7 +19,6 @@ import json
 import os
 
 import jax
-import numpy as np
 
 from ..diagnostics import plots
 from ..diagnostics.recovery import (run_recovery_study, sbc_ranks,

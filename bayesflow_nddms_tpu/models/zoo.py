@@ -234,38 +234,36 @@ SINGLE_TRIAL_ALPHA_NOT_SCALED2 = _make_alpha_variant(
     prior=(P_DRIFT, P_BOUND, P_BETA, P_NDT, dists.uniform(0.0, 1.0), P_DC,
            dists.uniform(0.0, 1.0)))
 
-SINGLE_TRIAL_ALPHA_STANDNORM = _make_alpha_variant(
-    "single_trial_alpha_standnorm",
-    lambda key, th, bound: _noisy(
-        key, bound - _col(th["mu_alpha"]),
-        jnp.sqrt(jnp.maximum(1.0 - _col(th["var_alpha"]), 1e-6)),
-        bound.shape),
-    "Variance-parameterized, sigma1 = sqrt(1 - var_alpha) (retired_models/"
-    "single_trial_alpha_standnorm.py:85-122).",
-    param_names=("drift", "mu_alpha", "beta", "ter", "var_alpha", "dc"),
-    prior=(P_DRIFT, P_BOUND, P_BETA, P_NDT, dists.uniform(0.0, 1.0), P_DC),
-    sd_key="_sqrt_var_alpha")
+def _make_standnorm():
+    """Variance-parameterized variant: boundary sd = sqrt(var_alpha) and
+    covariate sd = sqrt(1 - var_alpha), pinning total covariate variance
+    (retired_models/single_trial_alpha_standnorm.py:85-122)."""
+    param_names = ("drift", "mu_alpha", "beta", "ter", "var_alpha", "dc")
+    prior = (P_DRIFT, P_BOUND, P_BETA, P_NDT, dists.uniform(0.0, 1.0), P_DC)
+
+    def trial_fn(key, th, n):
+        B = th["mu_alpha"].shape[0]
+        sd = jnp.sqrt(_col(th["var_alpha"]))
+        bound = trunc_normal_positive(key, _col(th["mu_alpha"]), sd, (B, n))
+        return TrialParams(drift=_col(th["drift"]), boundary=bound,
+                           beta=_col(th["beta"]), ndt=_col(th["ter"]),
+                           dc=_col(th["dc"]))
+
+    def obs_fn(key, th, trial, t_dec, choice):
+        choicert = _signed_choicert(th, t_dec, choice)
+        sd = jnp.sqrt(jnp.maximum(1.0 - _col(th["var_alpha"]), 1e-6))
+        ext = _noisy(key, trial.boundary - _col(th["mu_alpha"]), sd,
+                     trial.boundary.shape)
+        return jnp.stack([choicert, ext], axis=-1)
+
+    return register(ModelSpec(
+        name="single_trial_alpha_standnorm", param_names=param_names,
+        prior=prior, trial_fn=trial_fn, obs_fn=obs_fn, n_channels=2,
+        doc="Variance-parameterized, sigma1 = sqrt(1 - var_alpha) "
+            "(retired_models/single_trial_alpha_standnorm.py:85-122)."))
 
 
-def _trial_alpha_sqrt_var(key, th, n):
-    """standnorm draws boundary with sd = sqrt(var_alpha)
-    (retired_models/single_trial_alpha_standnorm.py:89-91)."""
-    B = th["mu_alpha"].shape[0]
-    sd = jnp.sqrt(_col(th["var_alpha"]))
-    bound = trunc_normal_positive(key, _col(th["mu_alpha"]), sd, (B, n))
-    return TrialParams(drift=_col(th["drift"]), boundary=bound,
-                       beta=_col(th["beta"]), ndt=_col(th["ter"]),
-                       dc=_col(th["dc"]))
-
-
-# standnorm needs the sqrt(var) trial map, not the default std map
-_REGISTRY["single_trial_alpha_standnorm"] = ModelSpec(
-    name="single_trial_alpha_standnorm",
-    param_names=SINGLE_TRIAL_ALPHA_STANDNORM.param_names,
-    prior=SINGLE_TRIAL_ALPHA_STANDNORM.prior,
-    trial_fn=_trial_alpha_sqrt_var,
-    obs_fn=SINGLE_TRIAL_ALPHA_STANDNORM.obs_fn, n_channels=2)
-SINGLE_TRIAL_ALPHA_STANDNORM = _REGISTRY["single_trial_alpha_standnorm"]
+SINGLE_TRIAL_ALPHA_STANDNORM = _make_standnorm()
 
 
 def _make_alpha_sepvar():

@@ -20,7 +20,6 @@ TF checkpoint + memory.pkl pair (``basic_ddm_dc.py:169-181``).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Any, Callable, Optional
 
