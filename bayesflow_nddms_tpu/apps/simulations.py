@@ -152,3 +152,69 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def view_simulation(model: str = "single_trial_alpha_not_scaled",
+                    num_test: int = 2000, seed: int = 2023,
+                    plot_path: str | None = None):
+    """Simulator sanity panel (the reference's ``view_simulation`` flag,
+    single_trial_alpha_not_scaled.py:194-243): KDEs of per-dataset
+    covariate means/variances, RT means, choice rates, and the RT
+    distributions by choice ("should look like a shifted Wald"). Returns
+    the summary dict; optionally saves the figure."""
+    from ..models import zoo
+    from ..models.spec import generate_training_batch
+
+    spec = zoo.get_model(model)
+    key = jax.random.PRNGKey(seed)
+    theta, data, mask, log_n = generate_training_batch(
+        spec, key, num_test, spec.n_max)
+    data = np.asarray(data)
+    mask = np.asarray(mask)
+    c0 = data[..., 0]
+    m = mask & (c0 != 0)
+    rt_means = np.array([np.abs(c0[i][m[i]]).mean() for i in range(num_test)])
+    choice_means = np.array([(0.5 + 0.5 * np.sign(c0[i][m[i]])).mean()
+                             for i in range(num_test)])
+    summary = {"rt_mean": float(rt_means.mean()),
+               "choice_rate_mean": float(choice_means.mean()),
+               "missing_rate": float((mask & (c0 == 0)).sum() / mask.sum())}
+    if data.shape[-1] > 1:
+        ext = data[..., 1]
+        ext_means = np.array([ext[i][mask[i]].mean() for i in range(num_test)])
+        ext_vars = np.array([ext[i][mask[i]].var() for i in range(num_test)])
+        summary["ext_mean"] = float(ext_means.mean())
+        summary["ext_var"] = float(ext_vars.mean())
+    # min RT must exceed... equal the NDT floor (reference checks min RT
+    # against the drawn ndt, :241-243)
+    i0 = 0
+    ndt_idx = spec.param_names.index("ter") if "ter" in spec.param_names \
+        else (spec.param_names.index("tau") if "tau" in spec.param_names
+              else None)
+    if ndt_idx is not None:
+        rts0 = np.abs(c0[i0][m[i0]])
+        summary["min_rt_vs_ndt"] = (float(rts0.min()),
+                                    float(np.asarray(theta)[i0, ndt_idx]))
+    if plot_path:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(2, 3, figsize=(13, 7))
+        panels = [("per-dataset mean |RT|", rt_means),
+                  ("per-dataset choice rate", choice_means)]
+        if data.shape[-1] > 1:
+            panels += [("covariate means", ext_means),
+                       ("covariate variances", ext_vars)]
+        rts0 = np.abs(c0[i0][m[i0]])
+        sign0 = np.sign(c0[i0][m[i0]])
+        panels += [("RTs | upper (shifted-Wald-like)", rts0[sign0 > 0]),
+                   ("RTs | lower (shifted-Wald-like)", rts0[sign0 < 0])]
+        for ax, (title, vals) in zip(axes.ravel(), panels):
+            if len(vals) > 1:
+                ax.hist(vals, bins=40, density=True, alpha=0.7,
+                        color="#3182bd")
+            ax.set_title(title, fontsize=9)
+        fig.tight_layout()
+        fig.savefig(plot_path, dpi=120)
+        plt.close(fig)
+    return summary

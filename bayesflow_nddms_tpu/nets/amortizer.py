@@ -32,11 +32,13 @@ class AmortizedPosterior(nn.Module):
     n_equivariant: int = 2
     n_blocks: int = 6
     coupling_widths: Tuple[int, ...] = (128, 128)
+    summary_dtype: jnp.dtype = jnp.float32   # bf16 speeds the trial stack
 
     def setup(self):
         self.summary = DeepSet(summary_dim=self.summary_dim,
                                width=self.summary_width,
-                               n_equivariant=self.n_equivariant)
+                               n_equivariant=self.n_equivariant,
+                               dtype=self.summary_dtype)
         self.flow = ConditionalFlow(dim=self.n_params,
                                     n_blocks=self.n_blocks,
                                     widths=self.coupling_widths)

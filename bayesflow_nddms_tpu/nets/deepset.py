@@ -26,6 +26,7 @@ class EquivariantBlock(nn.Module):
     """Dense block mixing each trial embedding with the set mean."""
 
     width: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, mask: Array) -> Array:
@@ -35,8 +36,8 @@ class EquivariantBlock(nn.Module):
         set_mean = (x * m).sum(axis=1, keepdims=True) / denom[:, None]
         h = jnp.concatenate(
             [x, jnp.broadcast_to(set_mean, x.shape)], axis=-1)
-        h = nn.gelu(nn.Dense(self.width)(h))
-        h = nn.Dense(self.width)(h)
+        h = nn.gelu(nn.Dense(self.width, dtype=self.dtype)(h))
+        h = nn.Dense(self.width, dtype=self.dtype)(h)
         if x.shape[-1] == self.width:
             h = h + x  # residual keeps deep stacks trainable
         return nn.gelu(h)
@@ -49,13 +50,18 @@ class DeepSet(nn.Module):
     width: int = 64
     n_equivariant: int = 2
     head_widths: Sequence[int] = (128, 128)
+    # bf16 compute on the per-trial stack (the FLOP-heavy part: every dense
+    # runs over B*N rows); params and the pooled head stay f32. Pooling in
+    # f32 keeps the set statistics exact.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, mask: Array) -> Array:
         # x: (B, N, C) observations, mask: (B, N) bool
-        h = nn.Dense(self.width)(x)
+        h = nn.Dense(self.width, dtype=self.dtype)(x)
         for _ in range(self.n_equivariant):
-            h = EquivariantBlock(self.width)(h, mask)
+            h = EquivariantBlock(self.width, dtype=self.dtype)(h, mask)
+        h = h.astype(jnp.float32)
 
         m = mask[..., None].astype(h.dtype)
         denom = jnp.maximum(m.sum(axis=1), 1.0)
