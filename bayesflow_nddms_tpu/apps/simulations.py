@@ -108,52 +108,6 @@ def parameter_sweeps(n_points: int = 50, n_trials: int = 4096,
     return results
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--what", default="identifiability",
-                   choices=["identifiability", "sweeps", "paths"])
-    p.add_argument("--plot-dir", default="simulation_plots")
-    args = p.parse_args(argv)
-    if args.what == "identifiability":
-        print(json.dumps(identifiability_demo(), indent=2))
-    elif args.what == "sweeps":
-        res = parameter_sweeps()
-        import os
-        os.makedirs(args.plot_dir, exist_ok=True)
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-        fig, axes = plt.subplots(3, 3, figsize=(12, 10))
-        for col, (axis, r) in enumerate(res.items()):
-            for row, stat in enumerate(["accuracy", "mean_rt", "var_rt"]):
-                axes[row][col].plot(r["values"], r[stat])
-                axes[row][col].set_xlabel(axis)
-                axes[row][col].set_ylabel(stat)
-        fig.tight_layout()
-        fig.savefig(f"{args.plot_dir}/mean_rt_accuracy_effects.png", dpi=120)
-        print(f"saved {args.plot_dir}/mean_rt_accuracy_effects.png")
-    else:
-        times, paths, fp = plot_paths()
-        import os
-        os.makedirs(args.plot_dir, exist_ok=True)
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-        fig, ax = plt.subplots(figsize=(9, 5))
-        for i in range(paths.shape[0]):
-            ax.plot(times, paths[i], lw=0.8)
-        ax.axhline(1.2, color="k")
-        ax.axhline(0.0, color="k")
-        ax.set_xlabel("time (s)")
-        ax.set_ylabel("evidence")
-        fig.savefig(f"{args.plot_dir}/ddm_paths.png", dpi=120)
-        print(f"saved {args.plot_dir}/ddm_paths.png")
-
-
-if __name__ == "__main__":
-    main()
-
-
 def view_simulation(model: str = "single_trial_alpha_not_scaled",
                     num_test: int = 2000, seed: int = 2023,
                     plot_path: str | None = None):
@@ -218,3 +172,49 @@ def view_simulation(model: str = "single_trial_alpha_not_scaled",
         fig.savefig(plot_path, dpi=120)
         plt.close(fig)
     return summary
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--what", default="identifiability",
+                   choices=["identifiability", "sweeps", "paths"])
+    p.add_argument("--plot-dir", default="simulation_plots")
+    args = p.parse_args(argv)
+    if args.what == "identifiability":
+        print(json.dumps(identifiability_demo(), indent=2))
+    elif args.what == "sweeps":
+        res = parameter_sweeps()
+        import os
+        os.makedirs(args.plot_dir, exist_ok=True)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(3, 3, figsize=(12, 10))
+        for col, (axis, r) in enumerate(res.items()):
+            for row, stat in enumerate(["accuracy", "mean_rt", "var_rt"]):
+                axes[row][col].plot(r["values"], r[stat])
+                axes[row][col].set_xlabel(axis)
+                axes[row][col].set_ylabel(stat)
+        fig.tight_layout()
+        fig.savefig(f"{args.plot_dir}/mean_rt_accuracy_effects.png", dpi=120)
+        print(f"saved {args.plot_dir}/mean_rt_accuracy_effects.png")
+    else:
+        times, paths, fp = plot_paths()
+        import os
+        os.makedirs(args.plot_dir, exist_ok=True)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(9, 5))
+        for i in range(paths.shape[0]):
+            ax.plot(times, paths[i], lw=0.8)
+        ax.axhline(1.2, color="k")
+        ax.axhline(0.0, color="k")
+        ax.set_xlabel("time (s)")
+        ax.set_ylabel("evidence")
+        fig.savefig(f"{args.plot_dir}/ddm_paths.png", dpi=120)
+        print(f"saved {args.plot_dir}/ddm_paths.png")
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,11 @@ leaf ``n`` (1-based):
 Proposals are multinomial within subtrees and biased-progressive across
 doublings. Warmup shares the dual-averaging + diagonal-mass machinery
 with ``mcmc/hmc.py``.
+
+NOTE on max_depth: the doublings are unrolled, so the compiled program
+grows linearly in ``max_depth``; on remote-compile TPU backends depths
+above ~8 have been observed to exhaust the worker (keep max_depth <= 8
+there; the default 8 matches typical Stan usage for these posteriors).
 """
 
 from __future__ import annotations
