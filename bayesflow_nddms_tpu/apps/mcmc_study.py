@@ -97,9 +97,13 @@ def main(argv=None):
           f"parameters ({args.nparts} participants x {args.ntrials} "
           f"trials)...", flush=True)
     if args.sampler == "nuts":
-        res = N.run_chains(logprob, q0, jax.random.PRNGKey(args.seed + 2),
-                           n_warmup=args.warmup, n_samples=args.samples,
-                           thin=args.thin, max_depth=args.max_depth)
+        # chunked dispatches: long monolithic XLA executions can trip
+        # remote-worker watchdogs (see mcmc/nuts.py)
+        res = N.run_chains_chunked(
+            logprob, q0, jax.random.PRNGKey(args.seed + 2),
+            n_warmup=args.warmup, n_samples=args.samples,
+            thin=args.thin, max_depth=args.max_depth, chunk=50,
+            progress=True)
         print(f"accept: {np.asarray(res.accept_prob).round(2).tolist()} "
               f"depth: {np.asarray(res.mean_depth).round(1).tolist()}")
     else:

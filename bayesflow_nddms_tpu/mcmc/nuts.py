@@ -271,3 +271,153 @@ def run_chains(logprob_fn, q0s: Array, key: Array, **kw) -> NUTSResult:
     """vmap over chains; q0s (chains, dim)."""
     keys = jax.random.split(key, q0s.shape[0])
     return jax.vmap(lambda q, k: nuts(logprob_fn, q, k, **kw))(q0s, keys)
+
+
+# --------------------------------------------------------------------------
+# Chunked driver: bounded-size dispatches for long runs.
+#
+# A full warmup+sampling run compiled into ONE XLA program can execute for
+# many minutes; some TPU runtimes (remote/tunneled workers) kill such
+# long-running executions. run_chains_chunked carries the adaptation and
+# chain state across many short dispatches instead — functionally identical
+# to run_chains, but each device program runs for seconds.
+
+class _WarmupCarry(NamedTuple):
+    q: Array
+    key: Array
+    log_eps: Array
+    log_eps_bar: Array
+    h_bar: Array
+    mean: Array
+    m2: Array
+    inv_mass: Array
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "logprob_fn", "n", "n_warmup_total", "max_depth"))
+def _warmup_chunk(logprob_fn, carry: _WarmupCarry, t0_idx: Array, n: int,
+                  n_warmup_total: int, max_depth: int,
+                  target_accept: float = 0.8,
+                  init_step_size: float = 0.05) -> _WarmupCarry:
+    """Advance dual-averaging warmup by n transitions (vmapped over chains
+    by the caller through vmap of this function)."""
+    grad_fn = jax.grad(logprob_fn)
+    mu = jnp.log(10.0 * init_step_size)
+    gamma, t0c, kappa = 0.05, 10.0, 0.75
+
+    def body(c: _WarmupCarry, i):
+        key, k = jax.random.split(c.key)
+        q, a_prob, _ = _nuts_transition(
+            logprob_fn, grad_fn, c.q, k, jnp.exp(c.log_eps), c.inv_mass,
+            max_depth)
+        t = (t0_idx + i).astype(jnp.float32) + 1.0
+        h_bar = (1 - 1 / (t + t0c)) * c.h_bar + \
+            (target_accept - a_prob) / (t + t0c)
+        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+        w = t ** (-kappa)
+        log_eps_bar = w * log_eps + (1 - w) * c.log_eps_bar
+        delta = q - c.mean
+        mean = c.mean + delta / t
+        m2 = c.m2 + delta * (q - mean)
+        var = m2 / jnp.maximum(t - 1.0, 1.0)
+        inv_mass = jnp.where((t0_idx + i) == (n_warmup_total * 3) // 4,
+                             jnp.maximum(var, 1e-4), c.inv_mass)
+        return _WarmupCarry(q, key, log_eps, log_eps_bar, h_bar, mean, m2,
+                            inv_mass), None
+
+    carry, _ = lax.scan(body, carry, jnp.arange(n, dtype=jnp.int32))
+    return carry
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "logprob_fn", "n", "max_depth", "thin"))
+def _sample_chunk(logprob_fn, q: Array, key: Array, eps: Array,
+                  inv_mass: Array, n: int, max_depth: int, thin: int):
+    grad_fn = jax.grad(logprob_fn)
+
+    def outer(carry, _):
+        q, key, acc, dep = carry
+        def inner(c, _):
+            q, k, acc, dep = c
+            k, kk = jax.random.split(k)
+            q, a, d = _nuts_transition(logprob_fn, grad_fn, q, kk, eps,
+                                       inv_mass, max_depth)
+            return (q, k, acc + a, dep + d), None
+        (q, key, acc, dep), _ = lax.scan(inner, (q, key, acc, dep), None,
+                                         length=thin)
+        return (q, key, acc, dep), q
+
+    (q, key, acc, dep), samples = lax.scan(
+        outer, (q, key, jnp.zeros(()), jnp.zeros((), jnp.int32)), None,
+        length=n)
+    return q, key, samples, acc, dep
+
+
+def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
+                       n_warmup: int = 500, n_samples: int = 1000,
+                       max_depth: int = 8, thin: int = 1,
+                       chunk: int = 100, target_accept: float = 0.8,
+                       init_step_size: float = 0.05,
+                       progress: bool = False) -> NUTSResult:
+    """Chunked multi-chain NUTS: identical semantics to run_chains but
+    every device dispatch is bounded to ~chunk transitions."""
+    n_chains, dim = q0s.shape
+    keys = jax.random.split(key, n_chains)
+    carry = _WarmupCarry(
+        q=q0s, key=keys,
+        log_eps=jnp.full((n_chains,), jnp.log(init_step_size)),
+        log_eps_bar=jnp.full((n_chains,), jnp.log(init_step_size)),
+        h_bar=jnp.zeros((n_chains,)),
+        mean=jnp.zeros((n_chains, dim)), m2=jnp.zeros((n_chains, dim)),
+        inv_mass=jnp.ones((n_chains, dim)))
+
+    vw = jax.vmap(
+        lambda c, t0: _warmup_chunk(logprob_fn, c, t0, min(chunk, n_warmup),
+                                    n_warmup, max_depth, target_accept,
+                                    init_step_size),
+        in_axes=(0, None))
+    done = 0
+    while done < n_warmup:
+        step = min(chunk, n_warmup - done)
+        if step != min(chunk, n_warmup):  # tail chunk recompiles once
+            vw = jax.vmap(
+                lambda c, t0: _warmup_chunk(logprob_fn, c, t0, step,
+                                            n_warmup, max_depth,
+                                            target_accept, init_step_size),
+                in_axes=(0, None))
+        carry = vw(carry, jnp.int32(done))
+        jax.block_until_ready(carry.q)
+        done += step
+        if progress:
+            print(f"  warmup {done}/{n_warmup}", flush=True)
+
+    eps = jnp.exp(carry.log_eps_bar)
+    inv_mass = carry.inv_mass
+    q, keys2 = carry.q, carry.key
+
+    vs = jax.vmap(
+        lambda q, k, e, m: _sample_chunk(logprob_fn, q, k, e, m,
+                                         min(chunk, n_samples), max_depth,
+                                         thin))
+    all_samples, acc_tot, dep_tot = [], 0.0, 0.0
+    done = 0
+    while done < n_samples:
+        step = min(chunk, n_samples - done)
+        if step != min(chunk, n_samples):
+            vs = jax.vmap(
+                lambda q, k, e, m: _sample_chunk(logprob_fn, q, k, e, m,
+                                                 step, max_depth, thin))
+        q, keys2, samples, acc, dep = vs(q, keys2, eps, inv_mass)
+        jax.block_until_ready(q)
+        all_samples.append(samples)
+        acc_tot = acc_tot + acc
+        dep_tot = dep_tot + dep
+        done += step
+        if progress:
+            print(f"  sampling {done}/{n_samples}", flush=True)
+
+    samples = jnp.concatenate(all_samples, axis=1)  # (chains, n_samples, dim)
+    n_trans = n_samples * thin
+    return NUTSResult(samples=samples, accept_prob=acc_tot / n_trans,
+                      step_size=eps, inv_mass=inv_mass,
+                      mean_depth=dep_tot / n_trans)

@@ -205,3 +205,24 @@ def test_nuts_matches_hmc_on_dcddm_subset():
         mh = np.asarray(d_h[name]).mean(axis=(1, 2))
         mn = np.asarray(d_n[name]).mean(axis=(1, 2))
         np.testing.assert_allclose(mh, mn, atol=0.15)
+
+
+def test_nuts_chunked_matches_monolithic():
+    """run_chains_chunked must sample the same distribution as run_chains."""
+    from bayesflow_nddms_tpu.mcmc import nuts as N
+    mu = jnp.array([0.5, -1.0, 2.0])
+
+    def logp(q):
+        return -0.5 * jnp.sum((q - mu) ** 2)
+
+    q0 = jnp.zeros((3, 3))
+    res_a = N.run_chains(logp, q0, jax.random.PRNGKey(0), n_warmup=200,
+                         n_samples=400, max_depth=5)
+    res_b = N.run_chains_chunked(logp, q0, jax.random.PRNGKey(1),
+                                 n_warmup=200, n_samples=400, max_depth=5,
+                                 chunk=64)
+    sa = np.asarray(res_a.samples).reshape(-1, 3)
+    sb = np.asarray(res_b.samples).reshape(-1, 3)
+    assert sb.shape == sa.shape
+    np.testing.assert_allclose(sa.mean(0), sb.mean(0), atol=0.12)
+    np.testing.assert_allclose(sa.var(0), sb.var(0), rtol=0.3)
