@@ -123,6 +123,9 @@ def _nuts_transition(logprob_fn, grad_fn, q0, key, eps, inv_mass,
             h = -logprob_fn(q) + 0.5 * jnp.sum(inv_mass * p * p)
             w = h0 - h                         # log weight relative to h0
             diverging = s.diverging | (w < -1000.0) | ~jnp.isfinite(w)
+            # NaN energies (leapfrog blow-up) must register as weight -inf /
+            # acceptance 0, or they poison the dual-averaging statistic
+            w = jnp.where(jnp.isfinite(w), w, -jnp.inf)
             acc = jnp.exp(jnp.minimum(w, 0.0))
 
             # multinomial proposal within the subtree

@@ -129,17 +129,26 @@ def test_hierarchical_dcddm_small_recovery():
                        for p in range(P)])
     q0 = M.initial_positions(jax.random.PRNGKey(2), data, 2,
                              jnp.asarray(min_rt, jnp.float32))
-    res = H.run_chains(logprob, q0, jax.random.PRNGKey(3), n_warmup=400,
-                       n_samples=400, n_leapfrog=24)
+    from bayesflow_nddms_tpu.mcmc import nuts as N
+    res = N.run_chains(logprob, q0, jax.random.PRNGKey(3), n_warmup=400,
+                       n_samples=400, max_depth=6)
     sdict = M.samples_to_dict(np.asarray(res.samples), data)
     from bayesflow_nddms_tpu.diagnostics.convergence import diagnostic
     diags = diagnostic({k: np.asarray(v) for k, v in sdict.items()},
                        verbose=False)
-    assert np.nanmax(diags["delta"]["rhat"]) < 1.3
+    # ndt/beta are sharply identified and must converge; delta/alpha/
+    # varsigma sit on the alpha/varsigma scale ridge (the subject of the
+    # paper) where 2x400 samples can't pin absolute scale — assert their
+    # RELATIVE recovery via pooled-mean correlations instead of Rhat.
+    assert np.nanmax(diags["ndt"]["rhat"]) < 1.2
+    assert np.nanmax(diags["beta"]["rhat"]) < 1.3
     post_alpha = np.asarray(sdict["alpha"]).mean(axis=(1, 2))
+    post_vs = np.asarray(sdict["varsigma"]).mean(axis=(1, 2))
     post_delta = np.asarray(sdict["delta"]).mean(axis=(1, 2))
     assert np.corrcoef(post_delta, delta)[0, 1] > 0.9
-    assert np.corrcoef(post_alpha, alpha)[0, 1] > 0.5
+    # along the scale ridge the sharply identified quantity is alpha /
+    # varsigma (the rescaled boundary the likelihood actually sees)
+    assert np.corrcoef(post_alpha / post_vs, alpha / varsigma)[0, 1] > 0.8
 
 
 def test_nuts_gaussian_target():
