@@ -30,13 +30,19 @@ Theta = Dict[str, Array]
 
 
 class TrialParams(NamedTuple):
-    """Per-trial core DDM parameters, each broadcastable to (B, N)."""
+    """Per-trial core DDM parameters, each broadcastable to (B, N).
+
+    ``extra`` carries model-specific latent state from the trial map to the
+    observation map (e.g. the UNOBSERVED latent boundary in the sepvar
+    model, retired_models/single_trial_alpha_sepvar.py:83-111).
+    """
 
     drift: Array
     boundary: Array
     beta: Array
     ndt: Array
     dc: Array
+    extra: Array | None = None
 
 
 def _use_pallas() -> bool:

@@ -284,18 +284,14 @@ def _make_alpha_sepvar():
                                           (B, n))
         return TrialParams(drift=_col(th["drift"]), boundary=obs_bound,
                            beta=_col(th["beta"]), ndt=_col(th["ter"]),
-                           dc=_col(th["dc"]))
+                           dc=_col(th["dc"]), extra=latent)
 
     def obs_fn(key, th, trial, t_dec, choice):
-        # NOTE: the covariate reads the latent bound; we re-derive it is not
-        # possible from obs_bound, so the covariate noise is composed:
-        # extdata1 ~ N(latent, sigma1). We approximate by emitting
-        # N(obs_bound, sigma1) which matches the reference's observed-variable
-        # factorization to first order; exact latent plumbing lands with the
-        # structured trial-state refactor.
+        # the covariate reads the shared LATENT bound (sepvar.py:87,111),
+        # not the truncated observed boundary that drives the walk
         choicert = _signed_choicert(th, t_dec, choice)
-        ext = _noisy(key, trial.boundary, _col(th["sigma1"]),
-                     trial.boundary.shape)
+        ext = _noisy(key, trial.extra, _col(th["sigma1"]),
+                     trial.extra.shape)
         return jnp.stack([choicert, ext], axis=-1)
 
     spec = ModelSpec(name="single_trial_alpha_sepvar",
