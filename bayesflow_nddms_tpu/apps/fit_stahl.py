@@ -66,8 +66,10 @@ def main(argv=None):
 
     spec = zoo.get_model(FLAGSHIP)
     stahl = load_stahl_csv(args.csv)
+    # pad directly to the network's trial buffer so the log-N condition
+    # always reflects the trials actually fitted (counts are clipped)
     data, mask, log_n, parts, counts = to_padded_batch(
-        stahl, which=args.covariate)
+        stahl, which=args.covariate, n_pad=spec.n_max)
     print(f"{len(parts)} participants, {int(counts.sum())} trials, "
           f"covariate={args.covariate}")
 
@@ -77,15 +79,6 @@ def main(argv=None):
     state = trainer.maybe_restore(trainer.init())
     if int(state.step) == 0 and args.train_steps > 0:
         state, _ = trainer.train(state)
-
-    # pad/trim trial buffer to the network's n_pad
-    n_pad = cfg.n_pad
-    if data.shape[1] < n_pad:
-        padw = n_pad - data.shape[1]
-        data = np.pad(data, ((0, 0), (0, padw), (0, 0)))
-        mask = np.pad(mask, ((0, 0), (0, padw)))
-    else:
-        data, mask = data[:, :n_pad], mask[:, :n_pad]
 
     post = fit_participants(trainer, state, data, mask, log_n, args.draws)
     pcv = prop_cognitive_variance(post)

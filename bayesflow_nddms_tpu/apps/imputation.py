@@ -78,25 +78,29 @@ def main(argv=None):
     alpha_like_pe = (alpha_like_pe + 3.0) / 3.0
 
     drift, beta, ter, dc = draw_participant_params(rng, len(parts))
-    true_mu = np.array([alphas[subj == pt].mean() for pt in parts])
-    true_std = np.array([alphas[subj == pt].std() for pt in parts])
 
     # simulate choice-RTs from the imputed per-trial boundaries, batched:
-    # pad each participant's trials into one (P, n_pad) buffer
-    counts = np.array([(subj == pt).sum() for pt in parts])
-    n_pad = int(counts.max())
+    # pad each participant's trials into the network's (P, n_max) buffer.
+    # Truths (mu/std of imputed boundaries) are computed over EXACTLY the
+    # trials that fit in the buffer, so recovery is never biased by
+    # participants with more than n_max trials.
+    spec = zoo.get_model(FLAGSHIP)
+    n_pad = spec.n_max
+    counts = np.array([min((subj == pt).sum(), n_pad) for pt in parts])
     P = len(parts)
     bound_buf = np.ones((P, n_pad), np.float32)
     cov_buf = np.zeros((P, n_pad), np.float32)
     mask = np.zeros((P, n_pad), bool)
+    true_mu = np.empty(P)
+    true_std = np.empty(P)
     for i, pt in enumerate(parts):
         sel = subj == pt
-        n = int(sel.sum())
-        bound_buf[i, :n] = alphas[sel]
-        cov_buf[i, :n] = alpha_like_pe[sel]
+        n = int(counts[i])
+        bound_buf[i, :n] = alphas[sel][:n]
+        cov_buf[i, :n] = alpha_like_pe[sel][:n]
         mask[i, :n] = True
-
-    spec = zoo.get_model(FLAGSHIP)
+        true_mu[i] = alphas[sel][:n].mean()
+        true_std[i] = alphas[sel][:n].std()
     fp = first_passage(
         jax.random.PRNGKey(args.seed),
         jnp.asarray(drift, jnp.float32)[:, None],
@@ -117,13 +121,6 @@ def main(argv=None):
                       ckpt_dir=args.ckpt_dir)
     trainer = Trainer(spec, cfg)
     state = trainer.maybe_restore(trainer.init())
-
-    if data.shape[1] < spec.n_max:
-        pw = spec.n_max - data.shape[1]
-        data = np.pad(data, ((0, 0), (0, pw), (0, 0)))
-        mask = np.pad(mask, ((0, 0), (0, pw)))
-    else:
-        data, mask = data[:, :spec.n_max], mask[:, :spec.n_max]
 
     post = fit_participants(trainer, state, data, mask, log_n, args.draws,
                             key=jax.random.PRNGKey(args.seed + 1))

@@ -86,10 +86,10 @@ def parameter_sweeps(n_points: int = 50, n_trials: int = 4096,
         "boundary": np.linspace(0.5, 2.0, n_points),
     }
     results = {}
-    for axis, values in sweeps.items():
+    for axis_idx, (axis, values) in enumerate(sweeps.items()):
         params = {k: jnp.full((n_points, 1), v) for k, v in base.items()}
         params[axis] = jnp.asarray(values, jnp.float32)[:, None]
-        fp = first_passage(jax.random.fold_in(key, hash(axis) % 1000),
+        fp = first_passage(jax.random.fold_in(key, axis_idx),
                            params["drift"], params["boundary"],
                            jnp.float32(0.5), params["dc"],
                            shape=(n_points, n_trials), dt=0.01,

@@ -65,7 +65,7 @@ def _nuts_transition(logprob_fn, grad_fn, q0, key, eps, inv_mass,
                      max_depth: int):
     """One NUTS transition. Returns (q_new, mean_accept_prob, depth)."""
     dim = q0.shape[-1]
-    k_mom, k_dir, k_leaf, k_prop = jax.random.split(key, 4)
+    k_mom, k_leaf = jax.random.split(key)
     p0 = jax.random.normal(k_mom, (dim,)) / jnp.sqrt(inv_mass)
     h0 = -logprob_fn(q0) + 0.5 * jnp.sum(inv_mass * p0 * p0)
 
