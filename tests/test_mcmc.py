@@ -210,10 +210,12 @@ def test_nuts_matches_hmc_on_dcddm_subset():
                          n_samples=300, max_depth=7)
     d_h = M.samples_to_dict(np.asarray(res_h.samples), data)
     d_n = M.samples_to_dict(np.asarray(res_n.samples), data)
-    for name in ["delta", "ndt"]:
+    # tolerance ~ a few MC standard errors of each posterior mean (600
+    # correlated draws): delta posteriors are ~0.3-0.5 wide, ndt ~0.02
+    for name, atol in [("delta", 0.25), ("ndt", 0.05)]:
         mh = np.asarray(d_h[name]).mean(axis=(1, 2))
         mn = np.asarray(d_n[name]).mean(axis=(1, 2))
-        np.testing.assert_allclose(mh, mn, atol=0.15)
+        np.testing.assert_allclose(mh, mn, atol=atol)
 
 
 def test_nuts_chunked_matches_monolithic():
