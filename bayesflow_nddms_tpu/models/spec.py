@@ -76,8 +76,10 @@ class ModelSpec:
     max_steps: int = 400
     n_min: int = 60     # prior over number of trials (basic_ddm_dc.py:50-52)
     n_max: int = 300
-    summary_dim: int = 32   # summary-net width hint (dc2 variant uses 64,
-                            # retired_models/single_trial_alpha_dc2.py:284)
+    summary_dim: int = 64   # summary-net output dim (the reference's dc2
+                            # variant raised it to 64 from BayesFlow's
+                            # default, retired_models/single_trial_alpha_dc2
+                            # .py:284; our capacity study confirmed 64 wins)
     doc: str = dataclasses.field(default="", compare=False)
     # Applied to the stacked independent draws — supports dependent priors
     # like gamma ~ U(0, 1/std_alpha) (retired_models/single_trial_alpha_mean
