@@ -457,6 +457,103 @@ def _make_single_trial_drift_dc():
 SINGLE_TRIAL_DRIFT_DC = _make_single_trial_drift_dc()
 
 
+def _make_drift_dc_variant(name, param_names, prior, fixed_dr1, fixed_dc2,
+                           standardize, cite):
+    """Shared builder for the single_trial_drift_dc2..6 family: trial-level
+    drift (normal) + trial-level dc (rejection-truncated > 0,
+    retired_models/single_trial_drift_dc2.py "better truncated normal"),
+    two EEG channels with drift/dc loadings, optional fixed unit loadings
+    (dc4+, single_trial_drift_dc4.py:120-123) and optional analytic
+    standardization (dc5+, single_trial_drift_dc5.py:120-131)."""
+
+    def trial_fn(key, th, n):
+        k1, k2 = jax.random.split(key)
+        B = th["mu_drift"].shape[0]
+        drift = _noisy(k1, _col(th["mu_drift"]), _col(th["eta"]), (B, n))
+        dc = trunc_normal_positive(k2, _col(th["mu_dc"]), _col(th["var_dc"]),
+                                   (B, n))
+        return TrialParams(drift=drift, boundary=_col(th["alpha"]),
+                           beta=_col(th["beta"]), ndt=_col(th["ter"]), dc=dc)
+
+    def obs_fn(key, th, trial, t_dec, choice):
+        k1, k2 = jax.random.split(key)
+        choicert = _signed_choicert(th, t_dec, choice)
+        g_dr1 = 1.0 if fixed_dr1 else _col(th["gamma_dr1"])
+        g_dc2 = 1.0 if fixed_dc2 else _col(th["gamma_dc2"])
+        m1 = g_dr1 * trial.drift + _col(th["gamma_dc1"]) * trial.dc
+        m2 = _col(th["gamma_dr2"]) * trial.drift + g_dc2 * trial.dc
+        eeg1 = _noisy(k1, m1, _col(th["sigma1"]), t_dec.shape)
+        eeg2 = _noisy(k2, m2, _col(th["sigma2"]), t_dec.shape)
+        if standardize:
+            # observe only standardized measures (drift_dc5.py:120-131)
+            g1 = 1.0 if fixed_dr1 else th["gamma_dr1"]
+            g2 = 1.0 if fixed_dc2 else th["gamma_dc2"]
+            mu1 = g1 * th["mu_drift"] + th["gamma_dc1"] * th["mu_dc"]
+            v1 = (g1**2 * th["eta"]**2 + th["gamma_dc1"]**2 * th["var_dc"]**2
+                  + th["sigma1"]**2)
+            mu2 = th["gamma_dr2"] * th["mu_drift"] + g2 * th["mu_dc"]
+            v2 = (th["gamma_dr2"]**2 * th["eta"]**2 + g2**2 * th["var_dc"]**2
+                  + th["sigma2"]**2)
+            eeg1 = (eeg1 - _col(mu1)) / jnp.sqrt(_col(v1))
+            eeg2 = (eeg2 - _col(mu2)) / jnp.sqrt(_col(v2))
+        return jnp.stack([choicert, eeg1, eeg2], axis=-1)
+
+    spec = ModelSpec(name=name, param_names=param_names, prior=prior,
+                     trial_fn=trial_fn, obs_fn=obs_fn, n_channels=3, doc=cite)
+    return register(spec)
+
+
+_DC2_PARAMS = ("mu_drift", "alpha", "beta", "ter", "eta", "mu_dc", "var_dc",
+               "gamma_dr1", "gamma_dc1", "gamma_dr2", "gamma_dc2",
+               "sigma1", "sigma2")
+_U = dists.uniform
+_DC2_PRIOR = (_U(-4.0, 4.0), _U(0.5, 2.0), _U(0.1, 0.9), _U(0.1, 1.0),
+              _U(0.0, 2.0), _U(0.5, 2.0), _U(0.0, 2.0), _U(-2.0, 2.0),
+              _U(-2.0, 2.0), _U(-2.0, 2.0), _U(-2.0, 2.0), _U(0.0, 2.0),
+              _U(0.0, 2.0))
+# dc3+ switch from the uniform box to the shared informative priors
+# (retired_models/single_trial_drift_dc3.py:34-80)
+_DC3_PRIOR = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC, P_TRIAL_SD,
+              P_LOADING, P_LOADING, P_LOADING, P_LOADING,
+              _U(0.0, 1.0), _U(0.0, 1.0))
+_DC4_PARAMS = ("mu_drift", "alpha", "beta", "ter", "eta", "mu_dc", "var_dc",
+               "gamma_dc1", "gamma_dr2", "sigma1", "sigma2")
+_DC4_PRIOR = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC, P_TRIAL_SD,
+              P_LOADING, P_LOADING, _U(0.0, 1.0), _U(0.0, 1.0))
+_DC6_PRIOR = _DC4_PRIOR[:-2] + (P_SIGMA, P_SIGMA)
+
+SINGLE_TRIAL_DRIFT_DC2 = _make_drift_dc_variant(
+    "single_trial_drift_dc2", _DC2_PARAMS, _DC2_PRIOR,
+    fixed_dr1=False, fixed_dc2=False, standardize=False,
+    cite="13-param uniform-prior variant with rejection-truncated dc_trial "
+         "(retired_models/single_trial_drift_dc2.py:34-55,100-103).")
+
+SINGLE_TRIAL_DRIFT_DC3 = _make_drift_dc_variant(
+    "single_trial_drift_dc3", _DC2_PARAMS, _DC3_PRIOR,
+    fixed_dr1=False, fixed_dc2=False, standardize=False,
+    cite="dc2 with the shared informative priors "
+         "(retired_models/single_trial_drift_dc3.py:34-80).")
+
+SINGLE_TRIAL_DRIFT_DC4 = _make_drift_dc_variant(
+    "single_trial_drift_dc4", _DC4_PARAMS, _DC4_PRIOR,
+    fixed_dr1=True, fixed_dc2=True, standardize=False,
+    cite="11-param: fixed unit loadings gamma_dr1 = gamma_dc2 = 1 "
+         "(retired_models/single_trial_drift_dc4.py:69-86,120-123).")
+
+SINGLE_TRIAL_DRIFT_DC5 = _make_drift_dc_variant(
+    "single_trial_drift_dc5", _DC4_PARAMS, _DC4_PRIOR,
+    fixed_dr1=True, fixed_dc2=True, standardize=True,
+    cite="dc4 with analytically standardized EEG observations "
+         "(retired_models/single_trial_drift_dc5.py:120-131).")
+
+SINGLE_TRIAL_DRIFT_DC6 = _make_drift_dc_variant(
+    "single_trial_drift_dc6", _DC4_PARAMS, _DC6_PRIOR,
+    fixed_dr1=True, fixed_dc2=True, standardize=True,
+    cite="dc5 with wide measurement-noise priors sigma ~ U(0,5) allowing "
+         "no-EEG-relationship models (retired_models/"
+         "single_trial_drift_dc6.py:89-93).")
+
+
 def _make_two_latent(name, param_names, prior, latents, loadings,
                      standardize, cite):
     """Shared builder for two-trial-level-latent, two-covariate models
@@ -543,15 +640,73 @@ def _drift_alpha_loadings(th, trial):
     return (m1, _col(th["sigma1"])), (m2, _col(th["sigma2"]))
 
 
+_DRIFT_ALPHA_PARAMS = ("mu_drift", "mu_alpha", "beta", "ter", "eta", "dc",
+                       "var_alpha", "gamma_bd1", "gamma_dr2", "sigma1",
+                       "sigma2")
+_DRIFT_ALPHA_PRIOR = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC,
+                      P_TRIAL_SD, P_LOADING, P_LOADING,
+                      dists.uniform(0.0, 1.0), dists.uniform(0.0, 1.0))
+
 SINGLE_TRIAL_DRIFT_ALPHA = _make_two_latent(
-    "single_trial_drift_alpha",
-    ("mu_drift", "mu_alpha", "beta", "ter", "eta", "dc", "var_alpha",
-     "gamma_bd1", "gamma_dr2", "sigma1", "sigma2"),
-    (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC, P_TRIAL_SD,
-     P_LOADING, P_LOADING, dists.uniform(0.0, 1.0), dists.uniform(0.0, 1.0)),
+    "single_trial_drift_alpha", _DRIFT_ALPHA_PARAMS, _DRIFT_ALPHA_PRIOR,
     _drift_alpha_latents, _drift_alpha_loadings, None,
-    "Trial drift+boundary, 2 covariates "
-    "(retired_models/single_trial_drift_alpha.py).")
+    "Trial drift+boundary, 2 covariates, fixed unit loadings gamma_dr1 = "
+    "gamma_bd2 = 1 (retired_models/single_trial_drift_alpha.py:57-142).")
+
+
+def _drift_alpha_standardize(th, eeg1, eeg2):
+    # analytic standardization (retired_models/single_trial_drift_alpha2.py:
+    # 131-142): eeg1 = N(drift + gamma_bd1*bound, sigma1) standardized by
+    # mu = mu_drift + gamma_bd1*mu_alpha, var = eta^2 + gamma_bd1^2
+    # var_alpha^2 + sigma1^2 (and symmetrically for eeg2)
+    mu1 = th["mu_drift"] + th["gamma_bd1"] * th["mu_alpha"]
+    v1 = (th["eta"]**2 + th["gamma_bd1"]**2 * th["var_alpha"]**2
+          + th["sigma1"]**2)
+    mu2 = th["gamma_dr2"] * th["mu_drift"] + th["mu_alpha"]
+    v2 = (th["gamma_dr2"]**2 * th["eta"]**2 + th["var_alpha"]**2
+          + th["sigma2"]**2)
+    return ((eeg1 - _col(mu1)) / jnp.sqrt(_col(v1)),
+            (eeg2 - _col(mu2)) / jnp.sqrt(_col(v2)))
+
+
+SINGLE_TRIAL_DRIFT_ALPHA2 = _make_two_latent(
+    "single_trial_drift_alpha2", _DRIFT_ALPHA_PARAMS,
+    _DRIFT_ALPHA_PRIOR[:-2] + (P_SIGMA, P_SIGMA),
+    _drift_alpha_latents, _drift_alpha_loadings, _drift_alpha_standardize,
+    "Analytically standardized EEG channels, sigma ~ U(0,5) "
+    "(retired_models/single_trial_drift_alpha2.py:86-142).")
+
+
+def _make_drift_alpha_base():
+    """7-param trial drift + boundary model with NO covariates, channels
+    (rt, choice) (retired_models/single_trial_drift_alpha_base.py:34-82)."""
+    param_names = ("mu_drift", "mu_alpha", "beta", "ter", "eta", "dc",
+                   "var_alpha")
+    prior = (P_DRIFT, P_BOUND, P_BETA, P_NDT, P_TRIAL_SD, P_DC, P_TRIAL_SD)
+
+    def trial_fn(key, th, n):
+        k1, k2 = jax.random.split(key)
+        B = th["mu_drift"].shape[0]
+        drift = _noisy(k1, _col(th["mu_drift"]), _col(th["eta"]), (B, n))
+        bound = trunc_normal_positive(k2, _col(th["mu_alpha"]),
+                                      _col(th["var_alpha"]), (B, n))
+        return TrialParams(drift=drift, boundary=bound, beta=_col(th["beta"]),
+                           ndt=_col(th["ter"]), dc=_col(th["dc"]))
+
+    def obs_fn(key, th, trial, t_dec, choice):
+        # (rt, choice) channels like the basic family: rt = n_steps*dt + tau
+        # (single_trial_drift_alpha_base.py:98-107)
+        rt = t_dec + _col(th["ter"])
+        return jnp.stack([rt, choice.astype(jnp.float32)], axis=-1)
+
+    return register(ModelSpec(
+        name="single_trial_drift_alpha_base", param_names=param_names,
+        prior=prior, trial_fn=trial_fn, obs_fn=obs_fn, n_channels=2,
+        doc="Covariate-free base of the drift+alpha family (retired_models/"
+            "single_trial_drift_alpha_base.py:34-107)."))
+
+
+SINGLE_TRIAL_DRIFT_ALPHA_BASE = _make_drift_alpha_base()
 
 
 # ---------------------------------------------------------------------------
