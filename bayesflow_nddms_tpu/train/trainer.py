@@ -57,6 +57,16 @@ class TrainConfig:
     seed: int = 0
     ckpt_dir: Optional[str] = None
     ckpt_every: int = 5_000
+    # Experience replay (train_experience_replay parity,
+    # basic_ddm_dc.py:199-202): 0 = pure online (fresh simulations every
+    # step, the TPU-native default — simulation is fused and nearly free).
+    # > 0 = per-device ring buffer of that many stored batches; each step
+    # simulates one fresh batch, writes it, and trains on a uniformly
+    # random stored batch (BayesFlow's replay semantics). The buffer is
+    # NOT checkpointed (unlike the reference's memory.pkl): its contents
+    # are synthetic draws from the same prior, so a restore simply
+    # re-primes it with fresh simulations.
+    replay_slots: int = 0
 
 
 @jax.tree_util.register_pytree_node_class
@@ -118,28 +128,84 @@ class Trainer:
             self.spec, key, self.local_batch, self.config.n_pad)
         return self.amortizer.apply(params, theta, data, mask, log_n)
 
-    def _build_steps(self):
-        spec_p, rep = P(), P()
+    def _batch_loss_fn(self, params, batch):
+        theta, data, mask, log_n = batch
+        return self.amortizer.apply(params, theta, data, mask, log_n)
 
-        def one_step(state: State, _):
+    # ---- experience replay (config.replay_slots > 0) ------------------- #
+
+    def init_replay(self):
+        """Per-device ring buffers, leading mesh axis (n_dev, slots, ...)."""
+        from . import replay
+        k = jax.random.fold_in(self.base_key, 0xB0FF)
+        batch = generate_training_batch(self.spec, k, self.local_batch,
+                                        self.config.n_pad)
+        buf = replay.init_buffer(self.config.replay_slots, batch)
+        stacked = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (self.n_dev,) + x.shape),
+            buf)
+        shard = jax.sharding.NamedSharding(self.mesh, P(DATA_AXIS))
+        return jax.device_put(stacked, shard)
+
+    def _replay_specs(self):
+        from .replay import ReplayBuffer
+        sharded = ReplayBuffer(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                               P(DATA_AXIS), P(DATA_AXIS))
+        return sharded
+
+    def _build_steps(self):
+        from . import replay
+        spec_p, rep = P(), P()
+        use_replay = self.config.replay_slots > 0
+
+        def one_step(carry, _):
+            state, buf = carry
             dev = lax.axis_index(DATA_AXIS)
             key = jax.random.fold_in(
                 jax.random.fold_in(self.base_key, state.step), dev)
-            loss, grads = jax.value_and_grad(self._loss_fn)(
-                state.params, key)
+            if use_replay:
+                # BayesFlow train_experience_replay semantics
+                # (basic_ddm_dc.py:199-202): simulate fresh, store, train
+                # on a random stored batch.
+                k_sim, k_read = jax.random.split(key)
+                fresh = generate_training_batch(
+                    self.spec, k_sim, self.local_batch, self.config.n_pad)
+                buf = replay.write(buf, fresh)
+                batch = replay.read(buf, k_read)
+                loss, grads = jax.value_and_grad(self._batch_loss_fn)(
+                    state.params, batch)
+            else:
+                loss, grads = jax.value_and_grad(self._loss_fn)(
+                    state.params, key)
             grads = lax.pmean(grads, DATA_AXIS)
             loss = lax.pmean(loss, DATA_AXIS)
             updates, opt_state = self.tx.update(grads, state.opt_state)
             params = optax.apply_updates(state.params, updates)
-            return State(params, opt_state, state.step + 1), loss
+            return (State(params, opt_state, state.step + 1), buf), loss
 
-        def chunk(state: State):
-            return lax.scan(one_step, state, None,
-                            length=self.inner_steps)
+        if use_replay:
+            def chunk(state: State, buf):
+                buf = jax.tree.map(lambda x: x[0], buf)  # drop device axis
+                (state, buf), losses = lax.scan(
+                    one_step, (state, buf), None, length=self.inner_steps)
+                buf = jax.tree.map(lambda x: x[None], buf)
+                return state, buf, losses
 
-        self._chunk = jax.jit(shard_map(
-            chunk, mesh=self.mesh, in_specs=(spec_p,),
-            out_specs=(rep, rep), check_vma=False))
+            bspec = self._replay_specs()
+            self._chunk_replay = jax.jit(shard_map(
+                chunk, mesh=self.mesh, in_specs=(spec_p, bspec),
+                out_specs=(rep, bspec, rep), check_vma=False))
+            self._chunk = None
+        else:
+            def chunk(state: State):
+                (state, _), losses = lax.scan(
+                    one_step, (state, None), None, length=self.inner_steps)
+                return state, losses
+
+            self._chunk = jax.jit(shard_map(
+                chunk, mesh=self.mesh, in_specs=(spec_p,),
+                out_specs=(rep, rep), check_vma=False))
+            self._chunk_replay = None
 
         def val_loss(params, key):
             dev = lax.axis_index(DATA_AXIS)
@@ -169,8 +235,12 @@ class Trainer:
         n_chunks = -(-cfg.steps // self.inner_steps)
         t_start = time.time()
         start_step = int(state.step)
+        buf = self.init_replay() if cfg.replay_slots > 0 else None
         for c in range(start_step // self.inner_steps, n_chunks):
-            state, losses = self._chunk(state)
+            if buf is not None:
+                state, buf, losses = self._chunk_replay(state, buf)
+            else:
+                state, losses = self._chunk(state)
             step = int(state.step)
             vl = float(self._val(state.params,
                                  jax.random.fold_in(self.base_key,

@@ -53,6 +53,18 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(state3.step) == 30 and hist3["loss"] == []
 
 
+def test_replay_training_decreases_loss():
+    """Experience-replay path (TrainConfig.replay_slots > 0): sharded ring
+    buffers train end-to-end on the mesh (train_experience_replay parity,
+    basic_ddm_dc.py:199-202)."""
+    spec = zoo.get_model("basic_ddm_dc")
+    trainer = Trainer(spec, _tiny_cfg(replay_slots=4), mesh=make_mesh(8))
+    state, hist = trainer.train()
+    assert int(state.step) == 30
+    assert hist["loss"][-1] < hist["loss"][0]
+    assert np.isfinite(hist["loss"]).all()
+
+
 def test_batch_size_divisibility_guard():
     spec = zoo.get_model("basic_ddm_dc")
     with pytest.raises(ValueError):
