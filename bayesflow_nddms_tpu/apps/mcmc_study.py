@@ -70,11 +70,20 @@ def main(argv=None):
     p.add_argument("--samples", type=int, default=1000)
     p.add_argument("--thin", type=int, default=1)
     p.add_argument("--sampler", default="nuts", choices=["nuts", "hmc"])
-    p.add_argument("--max-depth", type=int, default=9)
+    p.add_argument("--max-depth", type=int, default=8,
+                   help="NUTS tree depth; >8 can exhaust remote-compile "
+                        "TPU workers (mcmc/nuts.py NOTE)")
     p.add_argument("--covariate", action="store_true")
     p.add_argument("--test-num", type=int, default=2, choices=[1, 2, 3, 4])
     p.add_argument("--seed", type=int, default=2021)
     p.add_argument("--out", default=None, help=".npz output path")
+    p.add_argument("--dense-mass", action="store_true",
+                   help="adapt a full covariance mass matrix (tames the "
+                        "alpha/varsigma ridge of the no-covariate model)")
+    p.add_argument("--shard-chains", action="store_true",
+                   help="distribute chains over the device mesh "
+                        "(TPU-native pyjags threads=6 equivalent)")
+    p.add_argument("--chunk", type=int, default=50)
     args = p.parse_args(argv)
 
     y, truth, extdata = generate_data(args.seed, args.nparts, args.ntrials,
@@ -96,14 +105,23 @@ def main(argv=None):
     print(f"Running {args.chains} {args.sampler.upper()} chains over {dim} "
           f"parameters ({args.nparts} participants x {args.ntrials} "
           f"trials)...", flush=True)
+    mesh = None
+    if args.shard_chains:
+        from ..parallel.mesh import make_mesh
+        n_dev = len(jax.devices())
+        use = n_dev
+        while args.chains % use:
+            use -= 1
+        mesh = make_mesh(use)
+        print(f"sharding {args.chains} chains over {use} devices")
     if args.sampler == "nuts":
         # chunked dispatches: long monolithic XLA executions can trip
         # remote-worker watchdogs (see mcmc/nuts.py)
         res = N.run_chains_chunked(
             logprob, q0, jax.random.PRNGKey(args.seed + 2),
             n_warmup=args.warmup, n_samples=args.samples,
-            thin=args.thin, max_depth=args.max_depth, chunk=50,
-            progress=True)
+            thin=args.thin, max_depth=args.max_depth, chunk=args.chunk,
+            progress=True, dense_mass=args.dense_mass, mesh=mesh)
         print(f"accept: {np.asarray(res.accept_prob).round(2).tolist()} "
               f"depth: {np.asarray(res.mean_depth).round(1).tolist()}")
     else:

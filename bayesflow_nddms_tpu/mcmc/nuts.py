@@ -34,6 +34,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 Array = jax.Array
@@ -55,10 +56,27 @@ def _popcount(n: Array) -> Array:
     return ((n * 0x01010101) >> 24).astype(jnp.int32)
 
 
+def _mv(inv_mass: Array, p: Array) -> Array:
+    """inv_mass @ p for diagonal (vector) or dense (matrix) inverse mass."""
+    if inv_mass.ndim == 1:
+        return inv_mass * p
+    return inv_mass @ p
+
+
+def _mom_sample(key: Array, inv_mass: Array, dim: int) -> Array:
+    """Draw p ~ N(0, M) with M = inv_mass^{-1}. Dense case: with
+    L = chol(inv_mass), p = L^{-T} z has covariance inv_mass^{-1}."""
+    z = jax.random.normal(key, (dim,))
+    if inv_mass.ndim == 1:
+        return z / jnp.sqrt(inv_mass)
+    L = jnp.linalg.cholesky(inv_mass)
+    return jax.scipy.linalg.solve_triangular(L, z, lower=True, trans=1)
+
+
 def _is_turning(q_minus, p_minus, q_plus, p_plus, inv_mass):
     dq = q_plus - q_minus
-    return (jnp.dot(dq, inv_mass * p_minus) < 0.0) | \
-           (jnp.dot(dq, inv_mass * p_plus) < 0.0)
+    return (jnp.dot(dq, _mv(inv_mass, p_minus)) < 0.0) | \
+           (jnp.dot(dq, _mv(inv_mass, p_plus)) < 0.0)
 
 
 def _nuts_transition(logprob_fn, grad_fn, q0, key, eps, inv_mass,
@@ -66,13 +84,13 @@ def _nuts_transition(logprob_fn, grad_fn, q0, key, eps, inv_mass,
     """One NUTS transition. Returns (q_new, mean_accept_prob, depth)."""
     dim = q0.shape[-1]
     k_mom, k_leaf = jax.random.split(key)
-    p0 = jax.random.normal(k_mom, (dim,)) / jnp.sqrt(inv_mass)
-    h0 = -logprob_fn(q0) + 0.5 * jnp.sum(inv_mass * p0 * p0)
+    p0 = _mom_sample(k_mom, inv_mass, dim)
+    h0 = -logprob_fn(q0) + 0.5 * jnp.dot(p0, _mv(inv_mass, p0))
 
     def leapfrog(q, p, direction):
         e = direction * eps
         p = p + 0.5 * e * grad_fn(q)
-        q = q + e * inv_mass * p
+        q = q + e * _mv(inv_mass, p)
         p = p + 0.5 * e * grad_fn(q)
         return q, p
 
@@ -120,7 +138,7 @@ def _nuts_transition(logprob_fn, grad_fn, q0, key, eps, inv_mass,
             key, k_mn = jax.random.split(key)
             n = i + 1  # 1-based leaf index
             q, p = leapfrog(s.q, s.p, direction)
-            h = -logprob_fn(q) + 0.5 * jnp.sum(inv_mass * p * p)
+            h = -logprob_fn(q) + 0.5 * jnp.dot(p, _mv(inv_mass, p))
             w = h0 - h                         # log weight relative to h0
             diverging = s.diverging | (w < -1000.0) | ~jnp.isfinite(w)
             # NaN energies (leapfrog blow-up) must register as weight -inf /
@@ -208,13 +226,41 @@ def _nuts_transition(logprob_fn, grad_fn, q0, key, eps, inv_mass,
     return t.q_prop, mean_acc, depth_done
 
 
+def _cov_update(m2, delta, q, mean, dense: bool):
+    """Welford second-moment accumulator step (vector or full matrix)."""
+    if dense:
+        return m2 + jnp.outer(delta, q - mean)
+    return m2 + delta * (q - mean)
+
+
+def _mass_from_m2(m2, t, dim, dense: bool):
+    """Regularized inverse mass (= posterior covariance estimate) at the
+    adaptation switch point. Dense case uses Stan's shrinkage toward a
+    small identity, keeping the estimate well-conditioned when the window
+    is short relative to dim."""
+    n = jnp.maximum(t - 1.0, 1.0)
+    if dense:
+        cov = m2 / n
+        w = n / (n + 5.0)
+        return w * cov + ((1.0 - w) * 1e-3 + 1e-6) * jnp.eye(dim)
+    return jnp.maximum(m2 / n, 1e-4)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "logprob_fn", "n_warmup", "n_samples", "max_depth", "thin"))
+    "logprob_fn", "n_warmup", "n_samples", "max_depth", "thin",
+    "dense_mass"))
 def nuts(logprob_fn: Callable[[Array], Array], q0: Array, key: Array,
          n_warmup: int = 500, n_samples: int = 1000, max_depth: int = 8,
          target_accept: float = 0.8, thin: int = 1,
-         init_step_size: float = 0.05) -> NUTSResult:
-    """Single-chain NUTS; vmap over (q0, key) for chains."""
+         init_step_size: float = 0.05, dense_mass: bool = False
+         ) -> NUTSResult:
+    """Single-chain NUTS; vmap over (q0, key) for chains.
+
+    ``dense_mass=True`` adapts a FULL covariance inverse-mass matrix —
+    required for strongly correlated posteriors like the dcDDM
+    alpha/varsigma ridge (the likelihood only constrains alpha/varsigma,
+    basic_ddm_dc_pyjags.py:133), which a diagonal mass cannot align with.
+    """
     dim = q0.shape[-1]
     grad_fn = jax.grad(logprob_fn)
 
@@ -237,14 +283,15 @@ def nuts(logprob_fn: Callable[[Array], Array], q0: Array, key: Array,
         log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
         delta = q - mean
         mean = mean + delta / t
-        m2 = m2 + delta * (q - mean)
-        var = m2 / jnp.maximum(t - 1.0, 1.0)
+        m2 = _cov_update(m2, delta, q, mean, dense_mass)
         inv_mass = jnp.where(i == (n_warmup * 3) // 4,
-                             jnp.maximum(var, 1e-4), inv_mass)
+                             _mass_from_m2(m2, t, dim, dense_mass), inv_mass)
         return (q, key, log_eps, log_eps_bar, h_bar, mean, m2, inv_mass), None
 
+    m2_0 = jnp.zeros((dim, dim)) if dense_mass else jnp.zeros(dim)
+    mass_0 = jnp.eye(dim) if dense_mass else jnp.ones(dim)
     init = (q0, key, jnp.log(init_step_size), jnp.log(init_step_size),
-            0.0, jnp.zeros(dim), jnp.zeros(dim), jnp.ones(dim))
+            0.0, jnp.zeros(dim), m2_0, mass_0)
     (q, key, _, log_eps_bar, _, _, _, inv_mass), _ = lax.scan(
         warmup_body, init, jnp.arange(n_warmup, dtype=jnp.float32))
     eps = jnp.exp(log_eps_bar)
@@ -297,16 +344,18 @@ class _WarmupCarry(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "logprob_fn", "n", "n_warmup_total", "max_depth"))
+    "logprob_fn", "n", "n_warmup_total", "max_depth", "dense_mass"))
 def _warmup_chunk(logprob_fn, carry: _WarmupCarry, t0_idx: Array, n: int,
                   n_warmup_total: int, max_depth: int,
                   target_accept: float = 0.8,
-                  init_step_size: float = 0.05) -> _WarmupCarry:
+                  init_step_size: float = 0.05,
+                  dense_mass: bool = False) -> _WarmupCarry:
     """Advance dual-averaging warmup by n transitions (vmapped over chains
     by the caller through vmap of this function)."""
     grad_fn = jax.grad(logprob_fn)
     mu = jnp.log(10.0 * init_step_size)
     gamma, t0c, kappa = 0.05, 10.0, 0.75
+    dim = carry.q.shape[-1]
 
     def body(c: _WarmupCarry, i):
         key, k = jax.random.split(c.key)
@@ -321,10 +370,10 @@ def _warmup_chunk(logprob_fn, carry: _WarmupCarry, t0_idx: Array, n: int,
         log_eps_bar = w * log_eps + (1 - w) * c.log_eps_bar
         delta = q - c.mean
         mean = c.mean + delta / t
-        m2 = c.m2 + delta * (q - mean)
-        var = m2 / jnp.maximum(t - 1.0, 1.0)
+        m2 = _cov_update(c.m2, delta, q, mean, dense_mass)
         inv_mass = jnp.where((t0_idx + i) == (n_warmup_total * 3) // 4,
-                             jnp.maximum(var, 1e-4), c.inv_mass)
+                             _mass_from_m2(m2, t, dim, dense_mass),
+                             c.inv_mass)
         return _WarmupCarry(q, key, log_eps, log_eps_bar, h_bar, mean, m2,
                             inv_mass), None
 
@@ -361,33 +410,56 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
                        max_depth: int = 8, thin: int = 1,
                        chunk: int = 100, target_accept: float = 0.8,
                        init_step_size: float = 0.05,
-                       progress: bool = False) -> NUTSResult:
+                       progress: bool = False, dense_mass: bool = False,
+                       mesh=None) -> NUTSResult:
     """Chunked multi-chain NUTS: identical semantics to run_chains but
-    every device dispatch is bounded to ~chunk transitions."""
+    every device dispatch is bounded to ~chunk transitions.
+
+    ``dense_mass=True`` adapts a full covariance inverse mass per chain
+    (needed for the dcDDM alpha/varsigma ridge). ``mesh`` (a 1-D
+    ``jax.sharding.Mesh``) shards the chain axis over devices — the
+    TPU-native replacement for pyjags ``threads=6`` /
+    Stan ``n_jobs`` (basic_ddm_dc_pyjags.py:203) at multi-chip scale;
+    n_chains must be divisible by the mesh size.
+    """
     n_chains, dim = q0s.shape
     keys = jax.random.split(key, n_chains)
+    m2_0 = (jnp.zeros((n_chains, dim, dim)) if dense_mass
+            else jnp.zeros((n_chains, dim)))
+    mass_0 = (jnp.broadcast_to(jnp.eye(dim), (n_chains, dim, dim)).copy()
+              if dense_mass else jnp.ones((n_chains, dim)))
     carry = _WarmupCarry(
         q=q0s, key=keys,
         log_eps=jnp.full((n_chains,), jnp.log(init_step_size)),
         log_eps_bar=jnp.full((n_chains,), jnp.log(init_step_size)),
         h_bar=jnp.zeros((n_chains,)),
-        mean=jnp.zeros((n_chains, dim)), m2=jnp.zeros((n_chains, dim)),
-        inv_mass=jnp.ones((n_chains, dim)))
+        mean=jnp.zeros((n_chains, dim)), m2=m2_0,
+        inv_mass=mass_0)
 
-    vw = jax.vmap(
-        lambda c, t0: _warmup_chunk(logprob_fn, c, t0, min(chunk, n_warmup),
-                                    n_warmup, max_depth, target_accept,
-                                    init_step_size),
-        in_axes=(0, None))
+    if mesh is not None and n_chains % mesh.devices.size:
+        raise ValueError(f"{n_chains} chains not divisible by "
+                         f"{mesh.devices.size} devices")
+
+    def make_vw(step):
+        f = jax.vmap(
+            lambda c, t0: _warmup_chunk(logprob_fn, c, t0, step,
+                                        n_warmup, max_depth, target_accept,
+                                        init_step_size, dense_mass),
+            in_axes=(0, None))
+        if mesh is None:
+            return f
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        return jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis),
+            check_vma=False))
+
+    vw = make_vw(min(chunk, n_warmup))
     done = 0
     while done < n_warmup:
         step = min(chunk, n_warmup - done)
         if step != min(chunk, n_warmup):  # tail chunk recompiles once
-            vw = jax.vmap(
-                lambda c, t0: _warmup_chunk(logprob_fn, c, t0, step,
-                                            n_warmup, max_depth,
-                                            target_accept, init_step_size),
-                in_axes=(0, None))
+            vw = make_vw(step)
         carry = vw(carry, jnp.int32(done))
         jax.block_until_ready(carry.q)
         done += step
@@ -398,28 +470,35 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
     inv_mass = carry.inv_mass
     q, keys2 = carry.q, carry.key
 
-    vs = jax.vmap(
-        lambda q, k, e, m: _sample_chunk(logprob_fn, q, k, e, m,
-                                         min(chunk, n_samples), max_depth,
-                                         thin))
+    def make_vs(step):
+        f = jax.vmap(
+            lambda q, k, e, m: _sample_chunk(logprob_fn, q, k, e, m,
+                                             step, max_depth, thin))
+        if mesh is None:
+            return f
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        return jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=(P(axis),) * 4, out_specs=(P(axis),) * 5,
+            check_vma=False))
+
+    vs = make_vs(min(chunk, n_samples))
     all_samples, acc_tot, dep_tot = [], 0.0, 0.0
     done = 0
     while done < n_samples:
         step = min(chunk, n_samples - done)
         if step != min(chunk, n_samples):
-            vs = jax.vmap(
-                lambda q, k, e, m: _sample_chunk(logprob_fn, q, k, e, m,
-                                                 step, max_depth, thin))
+            vs = make_vs(step)
         q, keys2, samples, acc, dep = vs(q, keys2, eps, inv_mass)
         jax.block_until_ready(q)
-        all_samples.append(samples)
+        all_samples.append(np.asarray(samples))
         acc_tot = acc_tot + acc
         dep_tot = dep_tot + dep
         done += step
         if progress:
             print(f"  sampling {done}/{n_samples}", flush=True)
 
-    samples = jnp.concatenate(all_samples, axis=1)  # (chains, n_samples, dim)
+    samples = np.concatenate(all_samples, axis=1)  # (chains, n_samples, dim)
     n_trans = n_samples * thin
     return NUTSResult(samples=samples, accept_prob=acc_tot / n_trans,
                       step_size=eps, inv_mass=inv_mass,
