@@ -66,11 +66,17 @@ def main(argv=None):
 
     spec = zoo.get_model(FLAGSHIP)
     stahl = load_stahl_csv(args.csv)
-    # pad directly to the network's trial buffer so the log-N condition
-    # always reflects the trials actually fitted (counts are clipped)
+    # pad to the LARGEST participant so no trial is dropped (the reference
+    # fits every trial, fitting_stahl_data.py:196-211; largest Stahl
+    # participant has 337 > n_max=300). The DeepSet is mask-aware so a
+    # buffer longer than the training n_pad is fine; log N extrapolates
+    # the conditioning slightly, exactly as the reference's BayesFlow net
+    # (trained on N in [60,300]) does when fitting those participants.
     data, mask, log_n, parts, counts = to_padded_batch(
-        stahl, which=args.covariate, n_pad=spec.n_max)
-    print(f"{len(parts)} participants, {int(counts.sum())} trials, "
+        stahl, which=args.covariate, n_pad=None)
+    assert int(mask.sum()) == int(counts.sum()), "trials were dropped"
+    print(f"{len(parts)} participants, {int(counts.sum())} trials "
+          f"(buffer {data.shape[1]}, zero dropped), "
           f"covariate={args.covariate}")
 
     cfg = TrainConfig(batch_size=256, steps=max(args.train_steps, 1),

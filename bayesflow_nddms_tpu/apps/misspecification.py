@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +76,38 @@ _PARAM_MAP = {
 }
 
 
+def _true_pcv(case: str, theta: np.ndarray) -> np.ndarray | None:
+    """Ground-truth proportion of covariate variance explained by cognition
+    per test dataset, where the alternative truth defines one
+    (single_trial_alpha_not_scaled.py:1108-1129)."""
+    if case in ("self", "fine_dt"):
+        # std_alpha^2 / (std_alpha^2 + sigma1^2), slots 4 and 6
+        return theta[:, 4] ** 2 / (theta[:, 4] ** 2 + theta[:, 6] ** 2)
+    if case == "trial_dc":
+        # covariate tracks trial dc, not boundary: cognitive share of the
+        # covariate VARIANCE is std_dc^2/(std_dc^2+sigma1^2) but none of it
+        # reflects BOUNDARY variability — the reference treats 0 as the
+        # "no boundary link" truth (:1108-1129)
+        return np.zeros(theta.shape[0])
+    if case == "scaled":
+        # ext = N(gamma*bound, sigma1): cognition explains
+        # gamma^2 std_alpha^2 of the covariate variance (gamma slot 7)
+        g = theta[:, 7]
+        return (g * theta[:, 4]) ** 2 / (
+            (g * theta[:, 4]) ** 2 + theta[:, 6] ** 2)
+    if case == "scaled2":
+        return (2 * theta[:, 4]) ** 2 / (
+            (2 * theta[:, 4]) ** 2 + theta[:, 6] ** 2)
+    return None
+
+
+def _quantiles(x: np.ndarray) -> dict:
+    q = np.quantile(x, [0.025, 0.25, 0.5, 0.75, 0.975])
+    return {"mean": float(x.mean()), "sd": float(x.std()),
+            "q2.5": float(q[0]), "q25": float(q[1]), "median": float(q[2]),
+            "q75": float(q[3]), "q97.5": float(q[4])}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt-dir", default=f"checkpoint/{FLAGSHIP}")
@@ -84,6 +117,10 @@ def main(argv=None):
     p.add_argument("--num-test", type=int, default=500)
     p.add_argument("--draws", type=int, default=1000)
     p.add_argument("--seed", type=int, default=2023)
+    p.add_argument("--plot-dir", default="recovery_plots")
+    p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--out", default=None,
+                   help="npz path for the full per-dataset distributions")
     args = p.parse_args(argv)
 
     spec = zoo.get_model(FLAGSHIP)
@@ -93,7 +130,7 @@ def main(argv=None):
     state = trainer.maybe_restore(trainer.init())
 
     truths = alternative_truths()
-    results = {}
+    results, dists_npz = {}, {}
     for case in args.cases:
         alt = truths[case]
         key = jax.random.PRNGKey(args.seed)
@@ -116,14 +153,58 @@ def main(argv=None):
                 "rho": pearson(theta[:, src], post_mean[:, slot]),
                 "bias": float((post_mean[:, slot] - theta[:, src]).mean()),
             }
-        pcv = prop_cognitive_variance(post)
+        # per-dataset posterior-mean prop_cog_var DISTRIBUTION and its bias
+        # against each dataset's ground truth (the reference reports these
+        # as histograms, single_trial_alpha_not_scaled.py:1042-1200)
+        pcv = prop_cognitive_variance(post)        # (T, draws)
+        pcv_mean = pcv.mean(axis=1)                # (T,)
+        tpcv = _true_pcv(case, theta)
         results[case] = {
             "per_param": per_param,
-            "prop_cog_var_mean": float(pcv.mean()),
+            "prop_cog_var": _quantiles(pcv_mean),
+            "prop_cog_var_bias": (_quantiles(pcv_mean - tpcv)
+                                  if tpcv is not None else None),
         }
-        print(f"[{case}] prop_cog_var = {pcv.mean():.3f}", flush=True)
+        dists_npz[f"{case}_pcv_mean"] = pcv_mean
+        if tpcv is not None:
+            dists_npz[f"{case}_pcv_true"] = tpcv
+        print(f"[{case}] prop_cog_var = {pcv_mean.mean():.3f} "
+              f"(bias {np.mean(pcv_mean - tpcv):+.3f})" if tpcv is not None
+              else f"[{case}] prop_cog_var = {pcv_mean.mean():.3f}",
+              flush=True)
+
+        if not args.no_plots:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            from ..diagnostics import plots
+            pdir = os.path.join(args.plot_dir, FLAGSHIP, "misspecification")
+            os.makedirs(pdir, exist_ok=True)
+            # per-case recovery scatter over the mapped slots (:1042-1100)
+            srcs = [s for s in _PARAM_MAP[case] if s is not None]
+            slots = [i for i, s in enumerate(_PARAM_MAP[case])
+                     if s is not None]
+            names = [spec.param_names[i] for i in slots]
+            fig = plots.recovery_scatter(
+                theta[:, srcs], post_mean[:, slots], names,
+                figsize=(4 * len(names), 4))
+            fig.savefig(f"{pdir}/{case}_recovery.png", dpi=120)
+            # prop-cog-var distribution (and bias when truth defined)
+            fig, ax = plt.subplots(1, 2 if tpcv is not None else 1,
+                                   figsize=(10, 4), squeeze=False)
+            ax[0, 0].hist(pcv_mean, bins=40, color="steelblue")
+            ax[0, 0].set_xlabel("posterior-mean prop_cog_var")
+            if tpcv is not None:
+                ax[0, 1].hist(pcv_mean - tpcv, bins=40, color="firebrick")
+                ax[0, 1].set_xlabel("bias (posterior mean - truth)")
+                ax[0, 1].axvline(0, color="k", lw=1)
+            fig.suptitle(f"{FLAGSHIP}: {case}")
+            fig.savefig(f"{pdir}/{case}_prop_cog_var.png", dpi=120)
+            plt.close("all")
 
     print(json.dumps(results, indent=2))
+    if args.out:
+        np.savez(args.out, **dists_npz)
     return results
 
 

@@ -102,6 +102,90 @@ def run_recovery_study(spec: ModelSpec, amortizer, params, key: Array,
     return RecoveryStudy(true_params, param_samples, n_trials, metrics)
 
 
+class StreamingStudy(NamedTuple):
+    true_params: np.ndarray     # (num_test, P)
+    post_mean: np.ndarray       # (num_test, P)
+    post_sd: np.ndarray         # (num_test, P)
+    ranks: np.ndarray           # (num_test, P) SBC ranks in [0, n_draws]
+    n_trials: np.ndarray        # (num_test,)
+    metrics: Dict[str, dict]
+    sample_subset: Optional[np.ndarray]  # (batch, n_draws, P) first chunk
+
+
+def run_recovery_study_streaming(
+        spec: ModelSpec, amortizer, params, key: Array,
+        num_test: int = 12_000, n_draws: int = 10_000, batch: int = 128,
+        n_pad: Optional[int] = None, workdir: Optional[str] = None,
+        log_every: int = 10) -> StreamingStudy:
+    """Reference-scale recovery study (12,000 test datasets x 10,000 draws,
+    single_trial_alpha_not_scaled.py:297-309) without materializing the
+    (num_test, n_draws, P) sample tensor on the host: posterior means/SDs
+    and SBC ranks are reduced ON DEVICE per chunk; only (batch, P) arrays
+    cross the wire. With ``workdir`` set, each finished chunk is saved and
+    a restarted study resumes at the first missing chunk — the reference's
+    artifact-existence skip pattern (alpha_not_scaled.py:52,230-256) at
+    chunk granularity. The first chunk's full draws are kept for figures.
+    """
+    import os
+    if n_pad is None:
+        n_pad = spec.n_max
+
+    @jax.jit
+    def one_chunk(k, net_params):
+        k_sim, k_draw = jax.random.split(k)
+        theta, data, mask, log_n = generate_training_batch(
+            spec, k_sim, batch, n_pad)
+        samp = amortizer.apply(net_params, k_draw, data, mask, log_n,
+                               n_draws, method="sample")
+        post_mean = samp.mean(axis=1)
+        post_sd = samp.std(axis=1)
+        ranks = (samp < theta[:, None, :]).sum(axis=1)
+        return theta, post_mean, post_sd, ranks, jnp.exp(log_n[:, 0]), samp
+
+    n_chunks = -(-num_test // batch)
+    acc = {"theta": [], "mean": [], "sd": [], "ranks": [], "n": []}
+    subset = None
+    for c in range(n_chunks):
+        fname = (os.path.join(workdir, f"chunk_{c:05d}.npz")
+                 if workdir else None)
+        if fname and os.path.exists(fname):
+            z = np.load(fname)
+            out = {k: z[k] for k in acc}
+            if c == 0 and "subset" in z:
+                subset = z["subset"]
+        else:
+            t, m, s, r, n, samp = one_chunk(
+                jax.random.fold_in(key, c), params)
+            out = {"theta": np.asarray(t), "mean": np.asarray(m),
+                   "sd": np.asarray(s), "ranks": np.asarray(r),
+                   "n": np.asarray(n)}
+            extra = {}
+            if c == 0:
+                subset = np.asarray(samp)
+                extra["subset"] = subset
+            if fname:
+                os.makedirs(workdir, exist_ok=True)
+                np.savez(fname + ".tmp.npz", **out, **extra)
+                os.replace(fname + ".tmp.npz", fname)
+        for k in acc:
+            acc[k].append(out[k])
+        if log_every and (c + 1) % log_every == 0:
+            print(f"  study chunk {c + 1}/{n_chunks}", flush=True)
+
+    theta = np.concatenate(acc["theta"])[:num_test]
+    post_mean = np.concatenate(acc["mean"])[:num_test]
+    post_sd = np.concatenate(acc["sd"])[:num_test]
+    ranks = np.concatenate(acc["ranks"])[:num_test]
+    n_trials = np.rint(np.concatenate(acc["n"])[:num_test])
+    names = list(spec.param_names)
+    metrics = {}
+    for i, nme in enumerate(names):
+        metrics[nme] = {"r2": rsquared_pred(theta[:, i], post_mean[:, i]),
+                        "rho": pearson(theta[:, i], post_mean[:, i])}
+    return StreamingStudy(theta, post_mean, post_sd, ranks, n_trials,
+                          metrics, subset)
+
+
 def sbc_ranks(true_params: np.ndarray, param_samples: np.ndarray
               ) -> np.ndarray:
     """Simulation-based-calibration ranks: for each test dataset and
