@@ -29,23 +29,30 @@ NORTH_STAR = 1e8 / 8
 
 def main():
     spec = zoo.get_model("basic_ddm_dc")
-    batch, n_pad, iters = 8192, 300, 10
+    batch, n_pad, inner, iters = 8192, 300, 8, 4
 
     @jax.jit
     def run(key):
-        theta, data, mask, log_n = generate_training_batch(
-            spec, key, batch, n_pad)
-        # fold data into the result so the simulation cannot be DCE'd
-        return mask.sum() + 1e-20 * jnp.abs(data).sum()
+        # ``inner`` generations fused into one dispatch via lax.scan — the
+        # exact shape of the fused trainer's hot loop (trainer.py inner
+        # chunks). One dispatch per *chunk* keeps the ~9 ms host/tunnel
+        # round-trip off the measurement, same as in real training, where
+        # 100 steps share a dispatch (measured round-2 profile: dispatch
+        # overhead was ~40% of a one-batch-per-call bench).
+        def gen(carry, i):
+            theta, data, mask, log_n = generate_training_batch(
+                spec, jax.random.fold_in(key, i), batch, n_pad)
+            # fold data into the result so the simulation cannot be DCE'd
+            return carry + mask.sum() + 1e-20 * jnp.abs(data).sum(), None
+        total, _ = jax.lax.scan(gen, jnp.zeros(()), jnp.arange(inner))
+        return total
 
     key = jax.random.PRNGKey(0)
     out = run(key)
     jax.block_until_ready(out)  # warmup/compile
 
-    # Async pipelined dispatch with one final sync — the same pattern the
-    # fused trainer uses, so this measures steady-state device throughput
-    # rather than per-call host/tunnel round-trip latency. Tunneled devices
-    # show large run-to-run load variance; report the best of 3 reps as the
+    # Async pipelined dispatch with one final sync. Tunneled devices show
+    # large run-to-run load variance; report the best of 3 reps as the
     # steady-state estimate.
     trials_per_sec = 0.0
     for rep in range(3):

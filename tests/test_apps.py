@@ -40,6 +40,7 @@ def test_stahl_loader_and_padding(tmp_path):
     np.testing.assert_allclose(np.exp(log_n[:, 0]), counts)
 
 
+@pytest.mark.slow
 def test_recovery_study_app_tiny(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from bayesflow_nddms_tpu.apps.recovery_study import main

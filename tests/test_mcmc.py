@@ -45,6 +45,7 @@ def test_wfpt_series_agree_around_switch():
         assert np.max(rel) < 1e-5
 
 
+@pytest.mark.slow
 def test_diffusion_logpdf_matches_simulation_histogram():
     """Density vs fine-dt EM simulation for a dcDDM (dc != 1) — the latent
     consistency check the reference relies on (SURVEY.md §4 item 6)."""
@@ -98,6 +99,7 @@ def test_hmc_gaussian_target():
                                rtol=0.25)
 
 
+@pytest.mark.slow
 def test_hierarchical_dcddm_small_recovery():
     """End-to-end exact-likelihood fit on simulated data: Rhat close to 1
     and per-participant alpha/delta correlate with the truth (the quality
@@ -179,6 +181,7 @@ def test_nuts_gaussian_target():
     assert np.all(r < 1.05)
 
 
+@pytest.mark.slow
 def test_nuts_matches_hmc_on_dcddm_subset():
     """NUTS and HMC posteriors must agree on a small dcDDM fit (cross-
     sampler agreement, the reference's JAGS-vs-Stan check)."""
@@ -218,6 +221,7 @@ def test_nuts_matches_hmc_on_dcddm_subset():
         np.testing.assert_allclose(mh, mn, atol=atol)
 
 
+@pytest.mark.slow
 def test_nuts_chunked_matches_monolithic():
     """run_chains_chunked must sample the same distribution as run_chains."""
     from bayesflow_nddms_tpu.mcmc import nuts as N
