@@ -27,6 +27,16 @@ class AmortizedPosterior(nn.Module):
     n_params: int
     theta_mean: Tuple[float, ...]
     theta_std: Tuple[float, ...]
+    # Prior support bounds: posterior support is a subset of prior support,
+    # so draws are clamped to it. This bounds the damage when a rare
+    # conditioning vector falls outside the trained manifold (measured on
+    # the 12k x 10k flagship study: 0.5% of datasets — near-degenerate
+    # tiny-dc/all-capped-trials data — produced affine-coupling scales far
+    # beyond the prior width; NLL training penalizes such overdispersion
+    # by only ~0.03 nats so it is never trained away). Defaults are
+    # unbounded; build_amortizer fills them from the spec's priors.
+    theta_low: Tuple[float, ...] | None = None
+    theta_high: Tuple[float, ...] | None = None
     # defaults adopted after the round-1 capacity study: the larger summary
     # stack + deeper flow improves flagship recovery (mu_alpha rho .81->.85,
     # std_alpha .87->.89, dc .91->.92) at ~2.5x train FLOPs
@@ -75,17 +85,33 @@ class AmortizedPosterior(nn.Module):
         cond_b = jnp.broadcast_to(cond[:, None, :],
                                   (B, n_samples, cond.shape[-1]))
         x = self.flow.inverse(z, cond_b)
-        return x * self._sd + self._mu
+        x = x * self._sd + self._mu
+        if self.theta_low is not None:
+            x = jnp.clip(x, jnp.asarray(self.theta_low, jnp.float32),
+                         jnp.asarray(self.theta_high, jnp.float32))
+        return x
 
     def __call__(self, theta, data, mask, log_n):
         return self.loss(theta, data, mask, log_n)
 
 
 def build_amortizer(spec) -> AmortizedPosterior:
-    """Construct the amortizer for a ModelSpec using its prior moments."""
+    """Construct the amortizer for a ModelSpec using its prior moments.
+
+    Samples are clamped to the prior's support per parameter — except for
+    specs with a ``prior_transform`` (dependent priors like
+    gamma ~ U(0, 1/std_alpha)), where the raw marginal supports don't
+    describe the transformed parameters, so clamping is disabled.
+    """
     m, s = spec.prior_moments()
+    if spec.prior_transform is None:
+        low = tuple(float(d.support[0]) for d in spec.prior)
+        high = tuple(float(d.support[1]) for d in spec.prior)
+    else:
+        low = high = None
     return AmortizedPosterior(
         n_params=spec.n_params,
         theta_mean=tuple(float(x) for x in m),
         theta_std=tuple(float(x) for x in s),
-        summary_dim=spec.summary_dim)
+        summary_dim=spec.summary_dim,
+        theta_low=low, theta_high=high)
