@@ -85,3 +85,26 @@ def test_amortizer_end_to_end_shapes():
     m, s = spec.prior_moments()
     err = np.abs(np.asarray(samples).mean((0, 1)) - np.asarray(m))
     assert np.all(err < 4 * np.asarray(s) / np.sqrt(200))
+
+
+def test_sample_clamped_to_prior_support():
+    """Posterior draws must lie inside the prior's support: an untrained
+    amortizer (identity flow = standardized-prior sampler, i.e. unbounded
+    normals) would otherwise emit e.g. negative boundaries. Clamping
+    bounds the damage of off-manifold conditioning (nets/amortizer.py)."""
+    from bayesflow_nddms_tpu.models.spec import generate_training_batch
+    spec = zoo.get_model("basic_ddm_dc")
+    amort = build_amortizer(spec)
+    key = jax.random.PRNGKey(0)
+    theta, data, mask, log_n = generate_training_batch(spec, key, 4, 64)
+    params = amort.init(key, theta, data, mask, log_n)
+    samp = np.asarray(amort.apply(params, key, data, mask, log_n, 4000,
+                                  method="sample"))
+    for i, d in enumerate(spec.prior):
+        lo, hi = d.support
+        assert samp[..., i].min() >= lo - 1e-6, spec.param_names[i]
+        assert samp[..., i].max() <= hi + 1e-6, spec.param_names[i]
+    # the unbounded-support parameter (drift ~ N(0,2)) must NOT be clamped
+    # to a narrow range: untrained draws are ~N(0, 2), so |drift| > 4
+    # appears with probability ~4.5% per draw
+    assert np.abs(samp[..., 0]).max() > 4.0
