@@ -53,10 +53,16 @@ def alpha_scale(z: np.ndarray) -> np.ndarray:
 
 
 def load_stahl_csv(path: str, seed: int = 2024) -> StahlData:
-    import pandas as pd
-    df = pd.read_csv(path)
-    x = df["pre_Ne"].to_numpy(np.float64)
-    y = df["pre_Pe"].to_numpy(np.float64)
+    from ..utils import native
+    cols = native.parse_stahl_csv(path) if native.available() else None
+    if cols is None:       # pure-Python fallback for the native reader
+        import pandas as pd
+        df = pd.read_csv(path)
+        cols = {k: df[k].to_numpy() for k in
+                ("subj_idx", "rt", "response", "pre_Ne", "pre_Pe")}
+    df = cols
+    x = np.asarray(df["pre_Ne"], np.float64)
+    y = np.asarray(df["pre_Pe"], np.float64)
     resid = residualize(x, y)
     z = (resid - resid.mean()) / resid.std()
     alpha_like_pe = alpha_scale(z)
@@ -64,10 +70,12 @@ def load_stahl_csv(path: str, seed: int = 2024) -> StahlData:
     z_inv = (inv - inv.mean()) / inv.std()
     alpha_invert_pe = alpha_scale(z_inv)
     rng = np.random.default_rng(seed)   # fixed fake covariate (:113-115)
-    alpha_like_fake = rng.normal(1.0, 1.0 / 3.0, size=len(df))
+    alpha_like_fake = rng.normal(1.0, 1.0 / 3.0, size=len(x))
     normalized_ne = x / x.std()         # not mean-shifted (:105)
-    choicert = (df["rt"] * (2 * df["response"] - 1)).to_numpy(np.float64)
-    subj = df["subj_idx"].to_numpy()
+    rt = np.asarray(df["rt"], np.float64)
+    response = np.asarray(df["response"], np.float64)
+    choicert = rt * (2.0 * response - 1.0)
+    subj = np.asarray(df["subj_idx"])
     return StahlData(subj=subj, choicert=choicert,
                      alpha_like_pe=alpha_like_pe,
                      alpha_invert_pe=alpha_invert_pe,
