@@ -44,10 +44,12 @@ def fit_participants(trainer, state, data, mask, log_n, n_draws=1000,
 
 def prop_cognitive_variance(post: np.ndarray, std_alpha_idx=4, sigma1_idx=6):
     """std_alpha^2 / (std_alpha^2 + sigma1^2) per draw
-    (fitting_stahl_data.py:214-219)."""
+    (fitting_stahl_data.py:214-219). The tiny denominator floor defines
+    0/0 (both variance draws at the support lower bound 0, possible since
+    draws are clamped to prior support) as 0 — no cognitive variance."""
     cog = post[..., std_alpha_idx] ** 2
     tot = cog + post[..., sigma1_idx] ** 2
-    return cog / tot
+    return cog / np.maximum(tot, 1e-12)
 
 
 def main(argv=None):
