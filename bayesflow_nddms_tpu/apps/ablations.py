@@ -37,12 +37,21 @@ def _train_and_study(spec, cfg, amortizer=None, num_test=512, draws=1000,
     t0 = time.time()
     state, hist = trainer.train()
     train_sec = time.time() - t0
+    # steady-state steps/sec EXCLUDING the first chunk: the remote-TPU
+    # compile of the fused 100-step program can take minutes and varies
+    # between programs, which made whole-run timing compare compile
+    # services, not training (both arms run ~4 ms/step once compiled)
+    if len(hist["sec"]) >= 2:
+        steady = ((hist["step"][-1] - hist["step"][0])
+                  / (hist["sec"][-1] - hist["sec"][0]))
+    else:
+        steady = cfg.steps / train_sec
     study = run_recovery_study(spec, trainer.amortizer, state.params,
                                jax.random.PRNGKey(seed), num_test=num_test,
                                n_draws=draws)
     return {
-        "steps_per_sec": cfg.steps / train_sec,
-        "train_sec": train_sec,
+        "steps_per_sec_steady": steady,
+        "train_sec_incl_compile": train_sec,
         "final_val_loss": hist["val_loss"][-1],
         "rho": {k: v["rho"] for k, v in study.metrics.items()},
     }

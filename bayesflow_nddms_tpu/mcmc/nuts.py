@@ -233,17 +233,116 @@ def _cov_update(m2, delta, q, mean, dense: bool):
     return m2 + delta * (q - mean)
 
 
-def _mass_from_m2(m2, t, dim, dense: bool):
-    """Regularized inverse mass (= posterior covariance estimate) at the
-    adaptation switch point. Dense case uses Stan's shrinkage toward a
-    small identity, keeping the estimate well-conditioned when the window
-    is short relative to dim."""
-    n = jnp.maximum(t - 1.0, 1.0)
+def _mass_from_m2(m2, count, dim, dense: bool):
+    """Regularized inverse mass (= posterior covariance estimate) from a
+    Welford window of ``count`` draws. Dense case uses Stan's shrinkage
+    toward a small identity, keeping the estimate well-conditioned when
+    the window is short relative to dim."""
+    n = jnp.maximum(count - 1.0, 1.0)
     if dense:
         cov = m2 / n
         w = n / (n + 5.0)
         return w * cov + ((1.0 - w) * 1e-3 + 1e-6) * jnp.eye(dim)
     return jnp.maximum(m2 / n, 1e-4)
+
+
+def _diag_mass_from_m2(m2, count, dim, dense: bool):
+    """Diagonal (variance-only) estimate — the FIRST window's mass. Robust
+    even when the window is short or badly mixed; in dense mode returned
+    as a diagonal matrix so carry shapes stay fixed."""
+    n = jnp.maximum(count - 1.0, 1.0)
+    var = (jnp.diagonal(m2) if dense else m2) / n
+    var = jnp.maximum(var, 1e-4)
+    return jnp.diag(var) if dense else var
+
+
+class _WarmupCarry(NamedTuple):
+    q: Array
+    key: Array
+    log_eps: Array
+    log_eps_bar: Array
+    h_bar: Array
+    mu: Array           # dual-averaging anchor, re-centered at each window
+    mean: Array
+    m2: Array
+    count: Array        # draws in the CURRENT adaptation window
+    inv_mass: Array
+
+
+def _init_warmup_carry(q0, key, init_step_size, dim, dense: bool,
+                       batch_shape=()):
+    """Fresh warmup state; ``batch_shape`` prepends a chain axis."""
+    full = lambda v: jnp.full(batch_shape, v)
+    m2 = jnp.zeros(batch_shape + ((dim, dim) if dense else (dim,)))
+    mass = (jnp.broadcast_to(jnp.eye(dim), batch_shape + (dim, dim)).copy()
+            if dense else jnp.ones(batch_shape + (dim,)))
+    return _WarmupCarry(
+        q=q0, key=key,
+        log_eps=full(jnp.log(init_step_size)),
+        log_eps_bar=full(jnp.log(init_step_size)),
+        h_bar=jnp.zeros(batch_shape),
+        mu=full(jnp.log(10.0 * init_step_size)),
+        mean=jnp.zeros(batch_shape + (dim,)),
+        m2=m2, count=jnp.zeros(batch_shape),
+        inv_mass=mass)
+
+
+def _make_warmup_body(logprob_fn, grad_fn, n_warmup_total: int,
+                      max_depth: int, target_accept: float,
+                      dense_mass: bool, dim: int):
+    """One windowed-adaptation warmup transition, parameterized by the
+    GLOBAL step index g (0-based). Stan-style schedule:
+
+      window 1: [0, n/2)    -> at g = n/2-1  set DIAGONAL mass estimate
+      window 2: [n/2, 3n/4) -> at g = 3n/4-1 set the full estimate
+                               (dense covariance when dense_mass, else a
+                               refreshed diagonal)
+      window 3: [3n/4, n)   -> step-size-only refinement
+
+    Accumulators AND the dual-averaging state restart at each switch, so
+    the dense covariance is estimated only from draws taken under the
+    window-1 diagonal mass (well mixed), never from the cold start — a
+    single late switch fed by cold-start draws made >100-dim chains
+    diverge outright (measured on the 160-dim agreement posterior).
+    """
+    gamma, t0c, kappa = 0.05, 10.0, 0.75
+    n2 = n_warmup_total // 2
+    n3 = (n_warmup_total * 3) // 4
+
+    def body(c: _WarmupCarry, g):
+        key, k = jax.random.split(c.key)
+        q, a_prob, _ = _nuts_transition(
+            logprob_fn, grad_fn, c.q, k, jnp.exp(c.log_eps), c.inv_mass,
+            max_depth)
+        t = c.count + 1.0
+        h_bar = (1 - 1 / (t + t0c)) * c.h_bar + \
+            (target_accept - a_prob) / (t + t0c)
+        log_eps = c.mu - jnp.sqrt(t) / gamma * h_bar
+        w = t ** (-kappa)
+        log_eps_bar = w * log_eps + (1 - w) * c.log_eps_bar
+        delta = q - c.mean
+        mean = c.mean + delta / t
+        m2 = _cov_update(c.m2, delta, q, mean, dense_mass)
+
+        switch1 = g == jnp.int32(n2 - 1)
+        switch2 = g == jnp.int32(n3 - 1)
+        any_switch = switch1 | switch2
+        est1 = _diag_mass_from_m2(m2, t, dim, dense_mass)
+        est2 = _mass_from_m2(m2, t, dim, dense_mass)
+        inv_mass = jnp.where(switch1, est1,
+                             jnp.where(switch2, est2, c.inv_mass))
+        # window restart: accumulators + dual averaging re-anchored at the
+        # current averaged step size (Stan's init_buffer behavior)
+        mu = jnp.where(any_switch, jnp.log(10.0) + log_eps_bar, c.mu)
+        log_eps = jnp.where(any_switch, log_eps_bar, log_eps)
+        h_bar = jnp.where(any_switch, 0.0, h_bar)
+        count = jnp.where(any_switch, 0.0, t)
+        mean = jnp.where(any_switch, jnp.zeros_like(mean), mean)
+        m2 = jnp.where(any_switch, jnp.zeros_like(m2), m2)
+        return _WarmupCarry(q, key, log_eps, log_eps_bar, h_bar, mu,
+                            mean, m2, count, inv_mass), None
+
+    return body
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -268,33 +367,13 @@ def nuts(logprob_fn: Callable[[Array], Array], q0: Array, key: Array,
         return _nuts_transition(logprob_fn, grad_fn, q, key, eps, inv_mass,
                                 max_depth)
 
-    mu = jnp.log(10.0 * init_step_size)
-    gamma, t0c, kappa = 0.05, 10.0, 0.75
-
-    def warmup_body(carry, i):
-        (q, key, log_eps, log_eps_bar, h_bar, mean, m2, inv_mass) = carry
-        key, k = jax.random.split(key)
-        q, a_prob, _ = transition(q, k, jnp.exp(log_eps), inv_mass)
-        t = i + 1.0
-        h_bar = (1 - 1 / (t + t0c)) * h_bar + \
-            (target_accept - a_prob) / (t + t0c)
-        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-        w = t ** (-kappa)
-        log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
-        delta = q - mean
-        mean = mean + delta / t
-        m2 = _cov_update(m2, delta, q, mean, dense_mass)
-        inv_mass = jnp.where(i == (n_warmup * 3) // 4,
-                             _mass_from_m2(m2, t, dim, dense_mass), inv_mass)
-        return (q, key, log_eps, log_eps_bar, h_bar, mean, m2, inv_mass), None
-
-    m2_0 = jnp.zeros((dim, dim)) if dense_mass else jnp.zeros(dim)
-    mass_0 = jnp.eye(dim) if dense_mass else jnp.ones(dim)
-    init = (q0, key, jnp.log(init_step_size), jnp.log(init_step_size),
-            0.0, jnp.zeros(dim), m2_0, mass_0)
-    (q, key, _, log_eps_bar, _, _, _, inv_mass), _ = lax.scan(
-        warmup_body, init, jnp.arange(n_warmup, dtype=jnp.float32))
-    eps = jnp.exp(log_eps_bar)
+    body = _make_warmup_body(logprob_fn, grad_fn, n_warmup, max_depth,
+                             target_accept, dense_mass, dim)
+    init = _init_warmup_carry(q0, key, init_step_size, dim, dense_mass)
+    carry, _ = lax.scan(body, init, jnp.arange(n_warmup, dtype=jnp.int32))
+    q, key = carry.q, carry.key
+    eps = jnp.exp(carry.log_eps_bar)
+    inv_mass = carry.inv_mass
 
     def sample_body(carry, _):
         q, key, acc_sum, depth_sum = carry
@@ -332,17 +411,6 @@ def run_chains(logprob_fn, q0s: Array, key: Array, **kw) -> NUTSResult:
 # chain state across many short dispatches instead — functionally identical
 # to run_chains, but each device program runs for seconds.
 
-class _WarmupCarry(NamedTuple):
-    q: Array
-    key: Array
-    log_eps: Array
-    log_eps_bar: Array
-    h_bar: Array
-    mean: Array
-    m2: Array
-    inv_mass: Array
-
-
 @functools.partial(jax.jit, static_argnames=(
     "logprob_fn", "n", "n_warmup_total", "max_depth", "dense_mass"))
 def _warmup_chunk(logprob_fn, carry: _WarmupCarry, t0_idx: Array, n: int,
@@ -350,34 +418,15 @@ def _warmup_chunk(logprob_fn, carry: _WarmupCarry, t0_idx: Array, n: int,
                   target_accept: float = 0.8,
                   init_step_size: float = 0.05,
                   dense_mass: bool = False) -> _WarmupCarry:
-    """Advance dual-averaging warmup by n transitions (vmapped over chains
-    by the caller through vmap of this function)."""
+    """Advance windowed-adaptation warmup by n transitions (vmapped over
+    chains by the caller). Shares `_make_warmup_body` with the monolithic
+    ``nuts`` so the two paths stay transition-identical."""
     grad_fn = jax.grad(logprob_fn)
-    mu = jnp.log(10.0 * init_step_size)
-    gamma, t0c, kappa = 0.05, 10.0, 0.75
     dim = carry.q.shape[-1]
-
-    def body(c: _WarmupCarry, i):
-        key, k = jax.random.split(c.key)
-        q, a_prob, _ = _nuts_transition(
-            logprob_fn, grad_fn, c.q, k, jnp.exp(c.log_eps), c.inv_mass,
-            max_depth)
-        t = (t0_idx + i).astype(jnp.float32) + 1.0
-        h_bar = (1 - 1 / (t + t0c)) * c.h_bar + \
-            (target_accept - a_prob) / (t + t0c)
-        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-        w = t ** (-kappa)
-        log_eps_bar = w * log_eps + (1 - w) * c.log_eps_bar
-        delta = q - c.mean
-        mean = c.mean + delta / t
-        m2 = _cov_update(c.m2, delta, q, mean, dense_mass)
-        inv_mass = jnp.where((t0_idx + i) == (n_warmup_total * 3) // 4,
-                             _mass_from_m2(m2, t, dim, dense_mass),
-                             c.inv_mass)
-        return _WarmupCarry(q, key, log_eps, log_eps_bar, h_bar, mean, m2,
-                            inv_mass), None
-
-    carry, _ = lax.scan(body, carry, jnp.arange(n, dtype=jnp.int32))
+    body = _make_warmup_body(logprob_fn, grad_fn, n_warmup_total, max_depth,
+                             target_accept, dense_mass, dim)
+    carry, _ = lax.scan(body, carry,
+                        t0_idx + jnp.arange(n, dtype=jnp.int32))
     return carry
 
 
@@ -424,17 +473,8 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
     """
     n_chains, dim = q0s.shape
     keys = jax.random.split(key, n_chains)
-    m2_0 = (jnp.zeros((n_chains, dim, dim)) if dense_mass
-            else jnp.zeros((n_chains, dim)))
-    mass_0 = (jnp.broadcast_to(jnp.eye(dim), (n_chains, dim, dim)).copy()
-              if dense_mass else jnp.ones((n_chains, dim)))
-    carry = _WarmupCarry(
-        q=q0s, key=keys,
-        log_eps=jnp.full((n_chains,), jnp.log(init_step_size)),
-        log_eps_bar=jnp.full((n_chains,), jnp.log(init_step_size)),
-        h_bar=jnp.zeros((n_chains,)),
-        mean=jnp.zeros((n_chains, dim)), m2=m2_0,
-        inv_mass=mass_0)
+    carry = _init_warmup_carry(q0s, keys, init_step_size, dim, dense_mass,
+                               batch_shape=(n_chains,))
 
     if mesh is not None and n_chains % mesh.devices.size:
         raise ValueError(f"{n_chains} chains not divisible by "

@@ -172,11 +172,11 @@ class Trainer:
                     self.spec, k_sim, self.local_batch, self.config.n_pad)
                 buf = replay.write(buf, fresh)
                 batch = replay.read(buf, k_read)
-                loss, grads = jax.value_and_grad(self._batch_loss_fn)(
-                    state.params, batch)
             else:
-                loss, grads = jax.value_and_grad(self._loss_fn)(
-                    state.params, key)
+                batch = generate_training_batch(
+                    self.spec, key, self.local_batch, self.config.n_pad)
+            loss, grads = jax.value_and_grad(self._batch_loss_fn)(
+                state.params, batch)
             grads = lax.pmean(grads, DATA_AXIS)
             loss = lax.pmean(loss, DATA_AXIS)
             updates, opt_state = self.tx.update(grads, state.opt_state)
