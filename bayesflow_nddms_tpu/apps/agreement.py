@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +68,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=2024)
     p.add_argument("--out", default=None, help=".npz output path")
     args = p.parse_args(argv)
+    if args.out and os.path.exists(args.out):
+        # artifact-existence resume (alpha_not_scaled.py:52,230-256): an
+        # already-produced output means this expensive step is done
+        print(f"output exists at {args.out}, skipping (delete to re-run)")
+        return None
 
     spec = zoo.get_model(MODEL)
     key = jax.random.PRNGKey(args.seed)

@@ -65,6 +65,11 @@ def main(argv=None):
     p.add_argument("--out", default=None, help="npz output path")
     p.add_argument("--no-plots", action="store_true")
     args = p.parse_args(argv)
+    if args.out and os.path.exists(args.out):
+        # artifact-existence resume (alpha_not_scaled.py:52,230-256): an
+        # already-produced output means this expensive step is done
+        print(f"output exists at {args.out}, skipping (delete to re-run)")
+        return None
 
     spec = zoo.get_model(FLAGSHIP)
     stahl = load_stahl_csv(args.csv)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +62,11 @@ def main(argv=None):
                    help="add per-participant offsets to Pe/c (:74-79)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
+    if args.out and os.path.exists(args.out):
+        # artifact-existence resume (alpha_not_scaled.py:52,230-256): an
+        # already-produced output means this expensive step is done
+        print(f"output exists at {args.out}, skipping (delete to re-run)")
+        return None
 
     import pandas as pd
     df = pd.read_csv(args.csv)

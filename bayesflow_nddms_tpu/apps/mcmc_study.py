@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +86,11 @@ def main(argv=None):
                         "(TPU-native pyjags threads=6 equivalent)")
     p.add_argument("--chunk", type=int, default=50)
     args = p.parse_args(argv)
+    if args.out and os.path.exists(args.out):
+        # artifact-existence resume (alpha_not_scaled.py:52,230-256): an
+        # already-produced output means this expensive step is done
+        print(f"output exists at {args.out}, skipping (delete to re-run)")
+        return None
 
     y, truth, extdata = generate_data(args.seed, args.nparts, args.ntrials,
                                       args.covariate, args.test_num)

@@ -122,6 +122,10 @@ def main(argv=None):
     p.add_argument("--out", default=None,
                    help="npz path for the full per-dataset distributions")
     args = p.parse_args(argv)
+    if args.out and os.path.exists(args.out):
+        # artifact-existence resume (alpha_not_scaled.py:52,230-256)
+        print(f"output exists at {args.out}, skipping (delete to re-run)")
+        return None
 
     spec = zoo.get_model(FLAGSHIP)
     cfg = TrainConfig(batch_size=256, steps=1, n_pad=spec.n_max,
