@@ -67,6 +67,15 @@ def main(argv=None):
     p.add_argument("--ckpt-dir", default=f"trained/{MODEL}")
     p.add_argument("--seed", type=int, default=2024)
     p.add_argument("--out", default=None, help=".npz output path")
+    p.add_argument("--prior-draws", action="store_true",
+                   help="draw test parameters from the full prior instead "
+                        "of the reference's MCMC generating ranges. The "
+                        "full prior includes near-degenerate datasets "
+                        "(tiny dc -> nearly all trials missing) whose "
+                        "posterior geometry freezes gradient-based "
+                        "samplers; the reference only ever runs JAGS/Stan "
+                        "inside the narrow ranges "
+                        "(basic_ddm_dc_pyjags.py:56-78)")
     args = p.parse_args(argv)
     if args.out and os.path.exists(args.out):
         # artifact-existence resume (alpha_not_scaled.py:52,230-256): an
@@ -78,8 +87,27 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
 
     # --- shared datasets -------------------------------------------------
-    theta, data, mask, log_n = generate_training_batch(
-        spec, jax.random.fold_in(key, 1), args.num_datasets, spec.n_max)
+    from ..models.spec import sample_n_trials, trial_mask
+    k1, k2, k3 = jax.random.split(jax.random.fold_in(key, 1), 3)
+    if args.prior_draws:
+        theta, data, mask, log_n = generate_training_batch(
+            spec, jax.random.fold_in(key, 1), args.num_datasets, spec.n_max)
+    else:
+        # the reference's MCMC generating ranges
+        # (basic_ddm_dc_pyjags.py:56-78): uniform per-dataset parameters
+        rng = np.random.default_rng(args.seed)
+        M_ = args.num_datasets
+        theta = jnp.asarray(np.stack([
+            rng.uniform(-4.0, 4.0, M_),     # drift
+            rng.uniform(0.8, 1.4, M_),      # alpha
+            rng.uniform(0.3, 0.7, M_),      # beta
+            rng.uniform(0.15, 0.6, M_),     # ter
+            rng.uniform(0.8, 1.4, M_),      # dc
+        ], axis=-1), jnp.float32)
+        n = sample_n_trials(k2, spec, M_)
+        mask = trial_mask(n, spec.n_max)
+        data = spec.simulate(k3, theta, spec.n_max, active=mask)
+        log_n = jnp.log(n.astype(jnp.float32))[:, None]
     theta_np = np.asarray(theta)
     d = np.asarray(data)
     m = np.asarray(mask)
@@ -113,12 +141,35 @@ def main(argv=None):
                        for i in range(args.num_datasets)])
     q0 = M.initial_positions(jax.random.fold_in(key, 3), mdata, args.chains,
                              jnp.asarray(min_rt, jnp.float32))
+    # AMORTIZED PRECONDITIONING — a capability the reference's JAGS/Stan
+    # backends cannot have: the amortizer's per-dataset posterior SDs,
+    # mapped to the sampler's unconstrained space through the sigmoid
+    # Jacobian at the posterior mean, seed window-1 inverse mass. Without
+    # it, unit mass on this stiff multiscale posterior (ndt SD ~1e-3 s at
+    # N up to 300 trials) adapts eps to ~1e-3 and trajectories U-turn at
+    # depth ~2: chains freeze (measured; see docs/DESIGN.md).
+    init_var = np.empty(dim, np.float32)
+    spec_idx = {"delta": 0, "alpha": 1, "beta": 2, "ndt": 3, "varsigma": 4}
+    for b, mname in enumerate(M._PARAM_ORDER):
+        i = spec_idx[mname]
+        mean_x, sd_x = amort_mean[:, i], amort_sd[:, i]
+        if mname == "delta":
+            var_z = sd_x ** 2
+        else:
+            lo, hi = M._BOUNDS[mname]
+            s = np.clip((mean_x - lo) / (hi - lo), 1e-3, 1 - 1e-3)
+            dz_dx = 1.0 / ((hi - lo) * s * (1.0 - s))
+            var_z = (sd_x * dz_dx) ** 2
+        init_var[b * args.num_datasets:(b + 1) * args.num_datasets] = \
+            np.clip(var_z, 1e-6, 1e2)
     print(f"NUTS over {dim} parameters, {args.chains} chains "
-          f"(dense_mass={args.dense_mass})...", flush=True)
+          f"(dense_mass={args.dense_mass}, amortizer-preconditioned "
+          f"mass)...", flush=True)
     res = N.run_chains_chunked(
         logprob, q0, jax.random.fold_in(key, 4), n_warmup=args.warmup,
         n_samples=args.samples, thin=args.thin, max_depth=args.max_depth,
-        chunk=args.chunk, progress=True, dense_mass=args.dense_mass)
+        chunk=args.chunk, progress=True, dense_mass=args.dense_mass,
+        init_inv_mass=jnp.asarray(init_var))
     sdict = {k: np.asarray(v) for k, v in
              M.samples_to_dict(np.asarray(res.samples), mdata).items()}
     diags = diagnostic(sdict)

@@ -270,12 +270,27 @@ class _WarmupCarry(NamedTuple):
 
 
 def _init_warmup_carry(q0, key, init_step_size, dim, dense: bool,
-                       batch_shape=()):
-    """Fresh warmup state; ``batch_shape`` prepends a chain axis."""
+                       batch_shape=(), init_inv_mass=None):
+    """Fresh warmup state; ``batch_shape`` prepends a chain axis.
+
+    ``init_inv_mass``: optional (dim,) variance vector to precondition
+    window 1 (e.g. amortized-posterior variances in unconstrained space).
+    On stiff multiscale posteriors (per-dataset ndt SD ~1e-3 against O(1)
+    directions) unit mass makes window 1 useless — step size adapts to
+    ~1e-3 and trajectories U-turn at depth ~2, so the covariance windows
+    never see mixed draws.
+    """
     full = lambda v: jnp.full(batch_shape, v)
     m2 = jnp.zeros(batch_shape + ((dim, dim) if dense else (dim,)))
-    mass = (jnp.broadcast_to(jnp.eye(dim), batch_shape + (dim, dim)).copy()
-            if dense else jnp.ones(batch_shape + (dim,)))
+    if init_inv_mass is None:
+        mass = (jnp.broadcast_to(jnp.eye(dim),
+                                 batch_shape + (dim, dim)).copy()
+                if dense else jnp.ones(batch_shape + (dim,)))
+    else:
+        v = jnp.asarray(init_inv_mass, jnp.float32)
+        mass = jnp.broadcast_to(jnp.diag(v) if dense else v,
+                                batch_shape + ((dim, dim) if dense
+                                               else (dim,))).copy()
     return _WarmupCarry(
         q=q0, key=key,
         log_eps=full(jnp.log(init_step_size)),
@@ -460,7 +475,7 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
                        chunk: int = 100, target_accept: float = 0.8,
                        init_step_size: float = 0.05,
                        progress: bool = False, dense_mass: bool = False,
-                       mesh=None) -> NUTSResult:
+                       mesh=None, init_inv_mass=None) -> NUTSResult:
     """Chunked multi-chain NUTS: identical semantics to run_chains but
     every device dispatch is bounded to ~chunk transitions.
 
@@ -474,7 +489,8 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
     n_chains, dim = q0s.shape
     keys = jax.random.split(key, n_chains)
     carry = _init_warmup_carry(q0s, keys, init_step_size, dim, dense_mass,
-                               batch_shape=(n_chains,))
+                               batch_shape=(n_chains,),
+                               init_inv_mass=init_inv_mass)
 
     if mesh is not None and n_chains % mesh.devices.size:
         raise ValueError(f"{n_chains} chains not divisible by "
