@@ -62,6 +62,48 @@ def generate_data(seed: int, nparts: int, ntrials: int,
     return y, truth, extdata
 
 
+def _amortized_mass(args, y, flat_y, part, dim):
+    """Window-1 inverse mass from the trained dcDDM amortizer's posterior
+    SDs per participant, mapped through the sigmoid Jacobian into the
+    sampler's unconstrained space (same recipe as apps/agreement.py).
+    The amortizer was trained without trial drift variability (eta), so
+    under the hierarchical generator this is a deliberately approximate
+    preconditioner — scale is what matters for warmup."""
+    from ..models import zoo
+    from ..train.trainer import TrainConfig, Trainer
+    spec = zoo.get_model("basic_ddm_dc")
+    tr = Trainer(spec, TrainConfig(batch_size=256, steps=1,
+                                   n_pad=spec.n_max,
+                                   ckpt_dir=args.precondition_ckpt))
+    state = tr.maybe_restore(tr.init())
+    if int(state.step) == 0:
+        print("precondition checkpoint missing; using unit mass")
+        return None
+    P, T = args.nparts, args.ntrials
+    rt = np.abs(y).astype(np.float32)                  # (P, T)
+    choice = np.sign(y).astype(np.float32)
+    data = jnp.asarray(np.stack([rt, choice], axis=-1))
+    mask = jnp.ones((P, T), bool)
+    log_n = jnp.full((P, 1), np.log(T), jnp.float32)
+    post = np.asarray(tr.sample(state, jax.random.PRNGKey(0), data, mask,
+                                log_n, 500))
+    mean, sd = post.mean(axis=1), post.std(axis=1)
+    spec_idx = {"delta": 0, "alpha": 1, "beta": 2, "ndt": 3, "varsigma": 4}
+    init_var = np.ones(dim, np.float32)
+    for b, mname in enumerate(M._PARAM_ORDER):
+        i = spec_idx[mname]
+        if mname == "delta":
+            var_z = sd[:, i] ** 2
+        else:
+            lo, hi = M._BOUNDS[mname]
+            s = np.clip((mean[:, i] - lo) / (hi - lo), 1e-3, 1 - 1e-3)
+            var_z = (sd[:, i] / ((hi - lo) * s * (1.0 - s))) ** 2
+        init_var[b * P:(b + 1) * P] = np.clip(var_z, 1e-6, 1e2)
+    print("amortized preconditioning: mass range "
+          f"[{init_var.min():.2e}, {init_var.max():.2e}]")
+    return jnp.asarray(init_var)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--nparts", type=int, default=20)
@@ -84,6 +126,12 @@ def main(argv=None):
     p.add_argument("--shard-chains", action="store_true",
                    help="distribute chains over the device mesh "
                         "(TPU-native pyjags threads=6 equivalent)")
+    p.add_argument("--precondition", action="store_true",
+                   help="seed the warmup inverse mass from amortized "
+                        "per-participant posterior SDs (trained "
+                        "basic_ddm_dc net) — stabilizes stiff multiscale "
+                        "warmup; a JAGS/Stan-impossible capability")
+    p.add_argument("--precondition-ckpt", default="trained/basic_ddm_dc_100k")
     p.add_argument("--chunk", type=int, default=50)
     args = p.parse_args(argv)
     if args.out and os.path.exists(args.out):
@@ -111,6 +159,9 @@ def main(argv=None):
     print(f"Running {args.chains} {args.sampler.upper()} chains over {dim} "
           f"parameters ({args.nparts} participants x {args.ntrials} "
           f"trials)...", flush=True)
+    init_inv_mass = None
+    if args.precondition:
+        init_inv_mass = _amortized_mass(args, y, flat_y, part, dim)
     mesh = None
     if args.shard_chains:
         from ..parallel.mesh import make_mesh
@@ -127,7 +178,8 @@ def main(argv=None):
             logprob, q0, jax.random.PRNGKey(args.seed + 2),
             n_warmup=args.warmup, n_samples=args.samples,
             thin=args.thin, max_depth=args.max_depth, chunk=args.chunk,
-            progress=True, dense_mass=args.dense_mass, mesh=mesh)
+            progress=True, dense_mass=args.dense_mass, mesh=mesh,
+            init_inv_mass=init_inv_mass)
         print(f"accept: {np.asarray(res.accept_prob).round(2).tolist()} "
               f"depth: {np.asarray(res.mean_depth).round(1).tolist()}")
     else:
