@@ -132,6 +132,12 @@ def main(argv=None):
                         "basic_ddm_dc net) — stabilizes stiff multiscale "
                         "warmup; a JAGS/Stan-impossible capability")
     p.add_argument("--precondition-ckpt", default="trained/basic_ddm_dc_100k")
+    p.add_argument("--parameterization", default="natural",
+                   choices=["natural", "ridge"],
+                   help="'ridge' samples per-participant (log(alpha/"
+                        "varsigma), delta/varsigma, log varsigma) — the "
+                        "likelihood-aligned coordinates that make the "
+                        "alpha/varsigma scale ridge a coordinate axis")
     p.add_argument("--chunk", type=int, default=50)
     args = p.parse_args(argv)
     if args.out and os.path.exists(args.out):
@@ -151,17 +157,26 @@ def main(argv=None):
         extdata=None if extdata is None
         else jnp.asarray(extdata, jnp.float32))
 
-    logprob, _, dim = M.make_logprob(data)
+    logprob, _, dim = M.make_logprob(
+        data, parameterization=args.parameterization)
     min_rt = np.array([np.abs(flat_y[part == i]).min()
                        for i in range(args.nparts)])
-    q0 = M.initial_positions(jax.random.PRNGKey(args.seed + 1), data,
-                             args.chains, jnp.asarray(min_rt, jnp.float32))
+    q0 = M.initial_positions(
+        jax.random.PRNGKey(args.seed + 1), data, args.chains,
+        jnp.asarray(min_rt, jnp.float32),
+        parameterization=args.parameterization)
     print(f"Running {args.chains} {args.sampler.upper()} chains over {dim} "
           f"parameters ({args.nparts} participants x {args.ntrials} "
           f"trials)...", flush=True)
     init_inv_mass = None
     if args.precondition:
-        init_inv_mass = _amortized_mass(args, y, flat_y, part, dim)
+        if args.parameterization == "ridge":
+            # the amortized-SD mapping targets the natural sigmoid
+            # coordinates; ridge coordinates are benign enough that the
+            # windowed warmup adapts fine from unit mass
+            print("precondition ignored under --parameterization ridge")
+        else:
+            init_inv_mass = _amortized_mass(args, y, flat_y, part, dim)
     mesh = None
     if args.shard_chains:
         from ..parallel.mesh import make_mesh
@@ -189,7 +204,8 @@ def main(argv=None):
         print(f"accept rates: "
               f"{np.asarray(res.accept_rate).round(2).tolist()}")
 
-    sdict = M.samples_to_dict(np.asarray(res.samples), data)
+    sdict = M.samples_to_dict(np.asarray(res.samples), data,
+                              parameterization=args.parameterization)
     sdict = {k: np.asarray(v) for k, v in sdict.items()}
     diags = diagnostic(sdict)
 

@@ -59,12 +59,30 @@ class DcDDMData(NamedTuple):
     extdata: Optional[Array] = None   # (nparts,) covariate or None
 
 
-def make_logprob(data: DcDDMData):
+def make_logprob(data: DcDDMData, parameterization: str = "natural"):
     """Returns (logprob_fn, unflatten, dim) for HMC over the flattened
-    unconstrained parameter vector."""
+    unconstrained parameter vector.
+
+    ``parameterization``:
+
+      * ``"natural"`` — per-parameter sigmoid transforms (the round-1
+        coordinates). The alpha/varsigma scale ridge (the likelihood only
+        constrains alpha/varsigma and delta/varsigma, pyjags:133) is a
+        CURVED valley in these coordinates, so even a dense mass matrix
+        mixes it slowly (measured: Rhat ~6 at a 1800-transition budget).
+      * ``"ridge"`` — likelihood-aligned coordinates per participant:
+        u1 = log(alpha/varsigma), u2 = log(varsigma), u3 = delta/varsigma.
+        The likelihood depends only on (u1, u3, ndt, beta); u2 appears in
+        the prior alone, so its conditional is smooth and unimodal and the
+        ridge is EXACTLY a coordinate axis. Priors stay the model's
+        (alpha, varsigma, delta) TN/normal densities, with the smooth
+        normal pdf standing in for TN[0,10] (the upper truncation holds
+        ~1e-80 prior mass) and log-Jacobian log(alpha) + 2 log(varsigma).
+    """
     P = data.nparts
     has_cov = data.extdata is not None
     dim = 5 * P + (1 if has_cov else 0)
+    assert parameterization in ("natural", "ridge")
 
     def unflatten(z: Array):
         out = {}
@@ -77,15 +95,31 @@ def make_logprob(data: DcDDMData):
     def constrain(raw):
         """Map unconstrained values to the model space + total Jacobian."""
         th, jac = {}, 0.0
-        for name, v in raw.items():
-            if name == "delta":
-                th[name] = v
-            else:
-                lo, hi = _BOUNDS[name]
-                x, j = _sigmoid_transform(v, lo, hi)
-                th[name] = x
-                jac = jac + jnp.sum(j)
+        if parameterization == "ridge":
+            # raw slots: alpha->u1, varsigma->u2, delta->u3
+            u1, u2, u3 = raw["alpha"], raw["varsigma"], raw["delta"]
+            varsigma = jnp.exp(u2)
+            alpha = jnp.exp(u1 + u2)
+            delta = u3 * varsigma
+            th["alpha"], th["varsigma"], th["delta"] = alpha, varsigma, delta
+            jac = jac + jnp.sum(jnp.log(alpha) + 2.0 * u2)
+            rest = ("ndt", "beta")
+        else:
+            th["delta"] = raw["delta"]
+            rest = ("alpha", "varsigma", "ndt", "beta")
+        for name in rest:
+            lo, hi = _BOUNDS[name]
+            x, j = _sigmoid_transform(raw[name], lo, hi)
+            th[name] = x
+            jac = jac + jnp.sum(j)
         return th, jac
+
+    def _prior_lp(name, x):
+        if parameterization == "ridge" and name in ("alpha", "varsigma"):
+            # smooth untruncated normal pdf, mean 1 sd .5 (see docstring)
+            return jnp.sum(-0.5 * ((x - 1.0) / 0.5) ** 2
+                           - math.log(0.5) - 0.5 * math.log(2 * math.pi))
+        return jnp.sum(_PRIORS[name].log_prob(x))
 
     def logprob(z: Array) -> Array:
         raw = unflatten(z)
@@ -94,7 +128,7 @@ def make_logprob(data: DcDDMData):
         # priors (basic_ddm_dc_pyjags.py:112-124). Truncation normalizers
         # are parameter-independent constants here, so plain pdfs suffice.
         for name in _PARAM_ORDER:
-            lp = lp + jnp.sum(_PRIORS[name].log_prob(th[name]))
+            lp = lp + _prior_lp(name, th[name])
         if has_cov:
             lp = lp + _PRIORS["sigma"].log_prob(th["sigma"])
             # extdata[p] ~ N(1*alpha[p], sigma^2) (alpha_not_scaled.py:165)
@@ -112,7 +146,8 @@ def make_logprob(data: DcDDMData):
 
 
 def initial_positions(key: Array, data: DcDDMData, n_chains: int,
-                      min_rt: Optional[Array] = None) -> Array:
+                      min_rt: Optional[Array] = None,
+                      parameterization: str = "natural") -> Array:
     """Random overdispersed inits mirroring the reference's chain inits
     (``basic_ddm_dc_pyjags.py:186-197``): ndt below min RT / 2."""
     P = data.nparts
@@ -137,8 +172,12 @@ def initial_positions(key: Array, data: DcDDMData, n_chains: int,
                                maxval=3.0)
     varsigma = jax.random.uniform(keys[4], (n_chains, P), minval=0.5,
                                   maxval=2.0)
-    cols = [logit(alpha, 0, 10), logit(ndt, 0, 1.5), logit(beta, 0, 1),
-            delta, logit(varsigma, 0, 10)]
+    if parameterization == "ridge":
+        cols = [jnp.log(alpha / varsigma), logit(ndt, 0, 1.5),
+                logit(beta, 0, 1), delta / varsigma, jnp.log(varsigma)]
+    else:
+        cols = [logit(alpha, 0, 10), logit(ndt, 0, 1.5), logit(beta, 0, 1),
+                delta, logit(varsigma, 0, 10)]
     z = jnp.concatenate(cols, axis=1)
     if has_cov:
         sigma = jax.random.uniform(keys[5], (n_chains, 1), minval=0.5,
@@ -147,7 +186,8 @@ def initial_positions(key: Array, data: DcDDMData, n_chains: int,
     return z
 
 
-def samples_to_dict(samples: Array, data: DcDDMData) -> dict:
+def samples_to_dict(samples: Array, data: DcDDMData,
+                    parameterization: str = "natural") -> dict:
     """(chains, n_samples, dim) unconstrained -> dict of constrained arrays
     in the reference layout (dims..., nsamps, nchains) for diagnostics."""
     P = data.nparts
@@ -161,10 +201,23 @@ def samples_to_dict(samples: Array, data: DcDDMData) -> dict:
         lo, hi = _BOUNDS[name]
         return lo + (hi - lo) * jax.nn.sigmoid(block)
 
-    for i, name in enumerate(_PARAM_ORDER):
-        block = samples[..., i * P:(i + 1) * P]       # (C, S, P)
-        x = constrain_block(block, name)
-        out[name] = jnp.moveaxis(x, (0, 1, 2), (2, 1, 0))  # (P, S, C)
+    blocks = {name: samples[..., i * P:(i + 1) * P]
+              for i, name in enumerate(_PARAM_ORDER)}    # (C, S, P) each
+    if parameterization == "ridge":
+        varsigma = jnp.exp(blocks["varsigma"])
+        constrained = {
+            "alpha": jnp.exp(blocks["alpha"]) * varsigma,
+            "varsigma": varsigma,
+            "delta": blocks["delta"] * varsigma,
+            "ndt": constrain_block(blocks["ndt"], "ndt"),
+            "beta": constrain_block(blocks["beta"], "beta"),
+        }
+    else:
+        constrained = {name: constrain_block(blocks[name], name)
+                       for name in _PARAM_ORDER}
+    for name in _PARAM_ORDER:
+        out[name] = jnp.moveaxis(constrained[name],
+                                 (0, 1, 2), (2, 1, 0))   # (P, S, C)
     if has_cov:
         x = constrain_block(samples[..., 5 * P], "sigma")  # (C, S)
         out["sigma"] = jnp.moveaxis(x, (0, 1), (1, 0))     # (S, C)

@@ -279,3 +279,55 @@ def test_nuts_chunked_matches_monolithic():
     assert sb.shape == sa.shape
     np.testing.assert_allclose(sa.mean(0), sb.mean(0), atol=0.12)
     np.testing.assert_allclose(sa.var(0), sb.var(0), rtol=0.3)
+
+
+@pytest.mark.slow
+def test_ridge_parameterization_same_posterior():
+    """'ridge' coordinates (log(alpha/varsigma), delta/varsigma,
+    log varsigma) sample the SAME posterior as the natural sigmoid
+    coordinates — posterior means must agree within MC error — while
+    mixing dramatically better on the alpha/varsigma scale ridge
+    (measured round 2: Rhat 6 -> 1.006 at half the budget)."""
+    import numpy as np
+    from bayesflow_nddms_tpu.mcmc import models as M
+    from bayesflow_nddms_tpu.mcmc import nuts as N
+    from bayesflow_nddms_tpu.ops.exact_sampler import simulate_participants
+
+    P, T = 4, 200
+    rng = np.random.default_rng(3)
+    alpha = rng.uniform(0.9, 1.3, P)
+    ndt = rng.uniform(0.2, 0.5, P)
+    beta = rng.uniform(0.4, 0.6, P)
+    delta = rng.uniform(-2, 2, P)
+    varsigma = rng.uniform(0.9, 1.3, P)
+    y = np.asarray(simulate_participants(
+        jax.random.PRNGKey(0), P, T,
+        jnp.asarray(alpha, jnp.float32), jnp.asarray(ndt, jnp.float32),
+        jnp.asarray(delta, jnp.float32), jnp.asarray(beta, jnp.float32),
+        jnp.zeros(P, jnp.float32), jnp.asarray(varsigma, jnp.float32)))
+    part = np.repeat(np.arange(P), T)
+    data = M.DcDDMData(y=jnp.asarray(y.ravel(), jnp.float32),
+                       participant=jnp.asarray(part, jnp.int32), nparts=P)
+    min_rt = np.array([np.abs(y[i]).min() for i in range(P)])
+
+    means = {}
+    for param in ("natural", "ridge"):
+        logprob, _, dim = M.make_logprob(data, parameterization=param)
+        q0 = M.initial_positions(jax.random.PRNGKey(1), data, 4,
+                                 jnp.asarray(min_rt, jnp.float32),
+                                 parameterization=param)
+        res = N.run_chains_chunked(logprob, q0, jax.random.PRNGKey(2),
+                                   n_warmup=400, n_samples=400, chunk=400,
+                                   max_depth=7)
+        sdict = M.samples_to_dict(np.asarray(res.samples), data,
+                                  parameterization=param)
+        means[param] = {k: np.asarray(v).mean(axis=(1, 2))
+                        for k, v in sdict.items()}
+    # sharply identified quantities agree tightly
+    np.testing.assert_allclose(means["ridge"]["ndt"],
+                               means["natural"]["ndt"], atol=0.02)
+    ratio_r = means["ridge"]["alpha"] / means["ridge"]["varsigma"]
+    ratio_n = means["natural"]["alpha"] / means["natural"]["varsigma"]
+    np.testing.assert_allclose(ratio_r, ratio_n, rtol=0.1)
+    np.testing.assert_allclose(means["ridge"]["beta"],
+                               means["natural"]["beta"], atol=0.06)
