@@ -107,6 +107,8 @@ def make_logprob(data: DcDDMData, parameterization: str = "natural"):
         else:
             th["delta"] = raw["delta"]
             rest = ("alpha", "varsigma", "ndt", "beta")
+        if "sigma" in raw:
+            rest = rest + ("sigma",)
         for name in rest:
             lo, hi = _BOUNDS[name]
             x, j = _sigmoid_transform(raw[name], lo, hi)
