@@ -137,7 +137,12 @@ def main(argv=None):
                         participant=jnp.asarray(ds_idx, jnp.int32),
                         nparts=args.num_datasets)
     logprob, _, dim = M.make_logprob(mdata)
+    # A near-degenerate prior draw can leave a dataset with zero
+    # boundary-crossing trials; its exact posterior is then the prior and
+    # any finite min_rt works for initialization — never .min() an empty
+    # slice (ADVICE r2 #1).
     min_rt = np.array([np.abs(y[ds_idx == i]).min()
+                       if np.any(ds_idx == i) else 1.0
                        for i in range(args.num_datasets)])
     q0 = M.initial_positions(jax.random.fold_in(key, 3), mdata, args.chains,
                              jnp.asarray(min_rt, jnp.float32))

@@ -115,7 +115,7 @@ def main(argv=None):
         jnp.asarray(dc, jnp.float32)[:, None],
         shape=(P, n_pad), dt=spec.dt, max_steps=spec.max_steps,
         active=jnp.asarray(mask))
-    t_dec = np.asarray(fp.steps) * spec.dt
+    t_dec = np.asarray(fp.decision_time(spec.dt))
     choice = np.asarray(fp.choice).astype(np.float32)
     choicert = choice * (ter[:, None] + t_dec)
 

@@ -77,7 +77,11 @@ def _amortized_mass(args, y, flat_y, part, dim):
                                    ckpt_dir=args.precondition_ckpt))
     state = tr.maybe_restore(tr.init())
     if int(state.step) == 0:
-        print("precondition checkpoint missing; using unit mass")
+        import warnings
+        warnings.warn(
+            f"--precondition requested but no checkpoint under "
+            f"{args.precondition_ckpt}; falling back to UNIT mass "
+            f"(ADVICE r2 #4)", stacklevel=2)
         return None
     P, T = args.nparts, args.ntrials
     rt = np.abs(y).astype(np.float32)                  # (P, T)
@@ -169,14 +173,21 @@ def main(argv=None):
           f"parameters ({args.nparts} participants x {args.ntrials} "
           f"trials)...", flush=True)
     init_inv_mass = None
+    effective_precondition = "none"
     if args.precondition:
         if args.parameterization == "ridge":
             # the amortized-SD mapping targets the natural sigmoid
             # coordinates; ridge coordinates are benign enough that the
             # windowed warmup adapts fine from unit mass
-            print("precondition ignored under --parameterization ridge")
+            import warnings
+            warnings.warn(
+                "--precondition is ignored under --parameterization ridge; "
+                "sampling with unit initial mass (ADVICE r2 #4)",
+                stacklevel=2)
         else:
             init_inv_mass = _amortized_mass(args, y, flat_y, part, dim)
+            if init_inv_mass is not None:
+                effective_precondition = "amortized"
     mesh = None
     if args.shard_chains:
         from ..parallel.mesh import make_mesh
@@ -221,10 +232,12 @@ def main(argv=None):
     if args.covariate:
         metrics["sigma_posterior_mean"] = float(sdict["sigma"].mean())
         metrics["sigma_true"] = truth["sigma"]
+    metrics["effective_precondition"] = effective_precondition
     print(json.dumps(metrics, indent=2))
     if args.out:
-        np.savez(args.out, **sdict, **{f"true_{k}": v
-                                       for k, v in truth.items()})
+        np.savez(args.out, **sdict,
+                 effective_precondition=effective_precondition,
+                 **{f"true_{k}": v for k, v in truth.items()})
     return metrics
 
 

@@ -75,7 +75,8 @@ def main(argv=None):
             spec, trainer.amortizer, state.params,
             jax.random.PRNGKey(args.seed), num_test=args.num_test,
             n_draws=args.draws, batch=args.study_batch,
-            workdir=args.workdir)
+            workdir=args.workdir,
+            fingerprint_extra={"ckpt_step": int(state.step)})
         ranks, post_mean = study.ranks, study.post_mean
         sample_subset = study.sample_subset
         true_subset = study.true_params[:len(sample_subset)] \

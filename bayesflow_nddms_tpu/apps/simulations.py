@@ -47,7 +47,7 @@ def identifiability_demo(n: int = 100_000, seed: int = 2023) -> dict:
         fp = first_passage(jax.random.PRNGKey(seed), v, a, 0.5, dc,
                            shape=(1, n), dt=0.001, max_steps=8000)
         ch = np.asarray(fp.choice[0]).astype(int)
-        t = np.asarray(fp.steps[0]) * 0.001
+        t = np.asarray(fp.decision_time(0.001)[0])
         hit = ch != 0
         acc = (ch[hit] == 1).astype(float)
         est = ez_diffusion(t[hit], acc)
@@ -95,7 +95,7 @@ def parameter_sweeps(n_points: int = 50, n_trials: int = 4096,
                            shape=(n_points, n_trials), dt=0.01,
                            max_steps=300)
         ch = np.asarray(fp.choice).astype(int)
-        t = np.asarray(fp.steps) * 0.01
+        t = np.asarray(fp.decision_time(0.01))
         hit = ch != 0
         acc = np.where(hit, (ch == 1).astype(float), np.nan)
         rts = np.where(hit, t, np.nan)

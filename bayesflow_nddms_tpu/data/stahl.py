@@ -86,15 +86,26 @@ def load_stahl_csv(path: str, seed: int = 2024) -> StahlData:
 
 def to_padded_batch(data: StahlData, which: str = "invert",
                     n_pad: Optional[int] = None,
-                    participants: Optional[Sequence] = None):
+                    participants: Optional[Sequence] = None,
+                    allow_truncate: bool = False):
     """Stack per-participant (choicert, covariate) trials into one padded
-    (P, n_pad, 2) buffer + mask + log-N — the amortizer's batch format."""
+    (P, n_pad, 2) buffer + mask + log-N — the amortizer's batch format.
+
+    Refuses to silently drop trials: an explicit ``n_pad`` smaller than the
+    largest participant raises unless ``allow_truncate=True`` (the
+    zero-dropped-trials guarantee the Stahl fits rely on, VERDICT r2
+    Weak #7)."""
     cov = data.covariate(which)
     parts = np.asarray(participants if participants is not None
                        else data.participants)
     counts = np.array([(data.subj == p).sum() for p in parts])
     if n_pad is None:
         n_pad = int(counts.max())
+    elif n_pad < counts.max() and not allow_truncate:
+        raise ValueError(
+            f"n_pad={n_pad} < largest participant ({int(counts.max())} "
+            f"trials) would drop trials; pass allow_truncate=True to "
+            f"accept truncation")
     P = len(parts)
     out = np.zeros((P, n_pad, 2), np.float32)
     mask = np.zeros((P, n_pad), bool)

@@ -116,7 +116,8 @@ def run_recovery_study_streaming(
         spec: ModelSpec, amortizer, params, key: Array,
         num_test: int = 12_000, n_draws: int = 10_000, batch: int = 128,
         n_pad: Optional[int] = None, workdir: Optional[str] = None,
-        log_every: int = 10) -> StreamingStudy:
+        log_every: int = 10, fingerprint_extra: Optional[dict] = None
+        ) -> StreamingStudy:
     """Reference-scale recovery study (12,000 test datasets x 10,000 draws,
     single_trial_alpha_not_scaled.py:297-309) without materializing the
     (num_test, n_draws, P) sample tensor on the host: posterior means/SDs
@@ -126,9 +127,18 @@ def run_recovery_study_streaming(
     artifact-existence skip pattern (alpha_not_scaled.py:52,230-256) at
     chunk granularity. The first chunk's full draws are kept for figures.
     """
+    import json
     import os
     if n_pad is None:
         n_pad = spec.n_max
+
+    # Chunks are only reusable under the exact same configuration; a
+    # fingerprint in every chunk file stops a changed seed/model/checkpoint
+    # from silently mixing stale chunks into the metrics (ADVICE r2 #2).
+    fingerprint = json.dumps({
+        "spec": spec.name, "batch": batch, "n_draws": n_draws,
+        "n_pad": n_pad, "key": np.asarray(key).tolist(),
+        **(fingerprint_extra or {})}, sort_keys=True)
 
     @jax.jit
     def one_chunk(k, net_params):
@@ -150,6 +160,12 @@ def run_recovery_study_streaming(
                  if workdir else None)
         if fname and os.path.exists(fname):
             z = np.load(fname)
+            stored = str(z["fingerprint"]) if "fingerprint" in z else None
+            if stored is not None and stored != fingerprint:
+                raise ValueError(
+                    f"{fname} was produced under a different configuration"
+                    f"\n  stored:  {stored}\n  current: {fingerprint}\n"
+                    f"delete the workdir (or point at a fresh one) to rerun")
             out = {k: z[k] for k in acc}
             if c == 0 and "subset" in z:
                 subset = z["subset"]
@@ -159,7 +175,7 @@ def run_recovery_study_streaming(
             out = {"theta": np.asarray(t), "mean": np.asarray(m),
                    "sd": np.asarray(s), "ranks": np.asarray(r),
                    "n": np.asarray(n)}
-            extra = {}
+            extra = {"fingerprint": fingerprint}
             if c == 0:
                 subset = np.asarray(samp)
                 extra["subset"] = subset

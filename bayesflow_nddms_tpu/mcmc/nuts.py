@@ -486,6 +486,15 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
     Stan ``n_jobs`` (basic_ddm_dc_pyjags.py:203) at multi-chip scale;
     n_chains must be divisible by the mesh size.
     """
+    if 0 < n_warmup < 20:
+        # The windowed schedule switches mass at n/2 and 3n/4; below ~20
+        # steps those windows collapse and the mass matrix silently stays
+        # at its initial value (ADVICE r2 #3).
+        import warnings
+        warnings.warn(
+            f"n_warmup={n_warmup} < 20: adaptation windows collapse and "
+            f"the (initial) mass matrix is never re-estimated",
+            stacklevel=2)
     n_chains, dim = q0s.shape
     keys = jax.random.split(key, n_chains)
     carry = _init_warmup_carry(q0s, keys, init_step_size, dim, dense_mass,

@@ -1,14 +1,29 @@
-"""Pallas TPU kernel for the batched EM first-passage simulator.
+"""Pallas TPU kernel for the batched exact first-passage simulator.
 
 Same semantics as ``ops/ddm_sim.first_passage`` (which rebuilds the
-reference's ``diffusion_trial`` loop, ``basic_ddm_dc.py:85-112``) but
-engineered for the chip:
+reference's ``diffusion_trial`` loop, ``basic_ddm_dc.py:85-112``, made
+exact via the Brownian-bridge machinery documented there) but engineered
+for the chip:
 
-  * walk state (evidence, steps, choice, done) lives in VMEM for the whole
-    integration — zero HBM traffic between steps;
+  * walk state lives in VMEM for the whole integration — zero HBM traffic
+    between steps;
   * normals come from the hardware PRNG (``pltpu.prng_random_bits``) via
     Box-Muller — two steps per loop iteration, no threefry in the hot loop
-    (the XLA path spends most of its time in counter-based RNG);
+    (the XLA path spends most of its time in counter-based RNG); the
+    bridge test consumes one extra 32-bit draw per iteration, split into
+    two 16-bit uniforms (crossing probabilities below 2^-16 are dropped —
+    orders of magnitude under the MC noise floor);
+  * **adaptive step tiers**: exact Gaussian transitions are valid for any
+    step size, and the bridge test stays exact per segment, so lanes
+    farther than ``cfar`` bridge-sds from both boundaries take one
+    ``kbig * dt`` step instead of ``kbig`` small ones. Only the within-step
+    crossing-time draw depends on the step size, and crossings fire almost
+    exclusively from near-boundary (small-step) lanes, so accuracy is
+    unchanged while total work drops ~2-3x (measured on prior-drawn
+    parameter batches);
+  * crossing times are drawn ONCE per walk after the loop via the exact
+    GIG(1/2) bridge first-passage sampler (``ddm_sim.bridge_crossing_time``
+    docstring) — the hot loop only records the crossing step's endpoints;
   * early exit per grid block: a ``while_loop`` stops integrating as soon
     as every walk in the block has crossed, so fast-parameter blocks don't
     pay for slow ones (the XLA path can only exit globally).
@@ -34,8 +49,13 @@ Array = jax.Array
 LANES = 128
 BLOCK_ROWS = 128          # 128x128 walks per grid step — best early-exit
                           # granularity on v5e (measured sweep in round 1)
+KBIG = 4.0                # big-tier step multiple
+CFAR = 2.5                # big-tier guard band, in big-step noise sds
 _TWO_PI = 2.0 * math.pi
 _INV_2_24 = 1.0 / (1 << 24)
+_INV_2_16 = 1.0 / (1 << 16)
+_MIN_Q = 1e-6
+_MIN_FRAC = 1e-6
 
 
 def _uniform01(bits: Array) -> Array:
@@ -48,64 +68,150 @@ def _uniform01(bits: Array) -> Array:
     return i24.astype(jnp.float32) * _INV_2_24 + (0.5 * _INV_2_24)
 
 
+def _uniform16(bits: Array) -> Array:
+    """uint32 holding 16 random low bits -> float32 uniform in (0, 1)."""
+    i16 = pltpu.bitcast(bits, jnp.int32)
+    return i16.astype(jnp.float32) * _INV_2_16 + (0.5 * _INV_2_16)
+
+
 def _fp_kernel(seed_ref, drift_ref, bound_ref, beta_ref, dc_ref, active_ref,
-               steps_ref, choice_ref, *, dt: float, max_steps: int):
+               steps_ref, choice_ref, frac_ref, *,
+               dt: float, max_steps: int, bridge: bool):
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
-    drift_dt = drift_ref[:] * dt
-    sqrt_dt_dc = math.sqrt(dt) * dc_ref[:]
+    drift = drift_ref[:]
+    sigma = dc_ref[:]
     boundary = bound_ref[:]
+    t_max = float(max_steps) * dt
+    dt_b = KBIG * dt
+    mu_s = drift * dt
+    sd_s = math.sqrt(dt) * sigma
+    mu_b = drift * dt_b
+    sd_b = math.sqrt(dt_b) * sigma
+    inv2_s = 2.0 / (sd_s * sd_s)
+    inv2_b = 2.0 / (sd_b * sd_b)
+    far_thresh = CFAR * sd_b
     ev0 = boundary * beta_ref[:]
     active0 = active_ref[:] > 0
 
-    # Lean carry: only (evidence, steps). The walk freezes at the crossing
-    # value (the update is gated by ``act``), so done/choice are pure
-    # functions of the frozen evidence — no i1 vectors in the scf.while
-    # carry (Mosaic can't lower those) and ~25% fewer VPU ops per step.
-    # Padded lanes start at ev = -1 (born "crossed"); the caller masks them.
+    # Lean carry: (ev, t, evb, dh, dlt). The walk freezes at (or, for
+    # bridge-hidden crossings, is clamped onto) the crossing value, so
+    # done/choice are pure functions of the frozen evidence — no i1
+    # vectors in the scf.while carry (Mosaic can't lower those).
+    # evb: pre-step evidence at the crossing step; dh: endpoint boundary
+    # distance for hidden crossings (sentinel -1 when detected); dlt: the
+    # crossing step's size. Padded lanes start at ev = -1 (born "crossed").
     ev0 = jnp.where(active0, ev0, -1.0)
 
     shape = ev0.shape
-    n_iters = (max_steps + 1) // 2  # two EM steps per iteration
+    n_iters = (max_steps + 1) // 2  # two steps (small tier) per iteration
 
-    def activity(ev, steps):
+    # bridge=False counts unit steps (exact in f32) instead of seconds
+    t_cap = t_max if bridge else float(max_steps)
+
+    def activity(ev, t):
         inside = jnp.where((ev > 0.0) & (ev < boundary), 1.0, 0.0)
-        return inside * jnp.where(steps < float(max_steps), 1.0, 0.0)
+        return inside * jnp.where(t < t_cap, 1.0, 0.0)
 
-    def one_step(state, xi):
-        ev, steps = state
-        act = activity(ev, steps)
-        ev = ev + act * (drift_dt + sqrt_dt_dc * xi)
-        steps = steps + act
-        return ev, steps
+    def one_step(state, xi, u):
+        ev, t, evb, dh, dlt = state
+        act = activity(ev, t)
+        act_b = act > 0.5
+        d_up0 = boundary - ev
+        if bridge:
+            far = jnp.minimum(d_up0, ev) > far_thresh
+            step_mu = jnp.where(far, mu_b, mu_s)
+            step_sd = jnp.where(far, sd_b, sd_s)
+            delta = jnp.where(far, dt_b, dt)
+            inv2 = jnp.where(far, inv2_b, inv2_s)
+        else:
+            step_mu, step_sd, delta = mu_s, sd_s, 1.0
+        ev_new = ev + act * (step_mu + step_sd * xi)
+        inside_new = (ev_new > 0.0) & (ev_new < boundary)
+        detected = act_b & ~inside_new
+        if bridge:
+            take_up = (ev + ev_new) > boundary  # exactly argmin of d0*d1
+            d0 = jnp.where(take_up, d_up0, ev)
+            d1 = jnp.where(take_up, boundary - ev_new, ev_new)
+            p = jnp.exp(-(d0 * d1 * inv2))
+            hidden = act_b & inside_new & (u < p)
+            crossed = detected | hidden
+            evb = jnp.where(crossed, ev, evb)
+            dh = jnp.where(hidden, d1, dh)
+            dlt = jnp.where(crossed, delta, dlt)
+            ev_new = jnp.where(hidden & take_up, boundary,
+                               jnp.where(hidden & ~take_up, 0.0, ev_new))
+        t = t + act * delta
+        return ev_new, t, evb, dh, dlt
 
     def body(carry):
         it, state = carry
-        bits1 = pltpu.prng_random_bits(shape)
-        bits2 = pltpu.prng_random_bits(shape)
-        u1 = _uniform01(pltpu.bitcast(bits1, jnp.uint32))
-        u2 = _uniform01(pltpu.bitcast(bits2, jnp.uint32))
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        u1 = _uniform01(bits1)
+        u2 = _uniform01(bits2)
         r = jnp.sqrt(-2.0 * jnp.log(u1))
         th = _TWO_PI * u2
-        state = one_step(state, r * jnp.cos(th))
-        state = one_step(state, r * jnp.sin(th))
+        if bridge:
+            bits3 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            ua = _uniform16(bits3 >> 16)
+            ub = _uniform16(bits3 & 0xFFFF)
+        else:
+            ua = ub = u1
+        state = one_step(state, r * jnp.cos(th), ua)
+        state = one_step(state, r * jnp.sin(th), ub)
         return it + 1, state
 
     def cond(carry):
-        it, (ev, steps) = carry
-        return (it < n_iters) & (jnp.max(activity(ev, steps)) > 0.5)
+        it, (ev, t, _, _, _) = carry
+        return (it < n_iters) & (jnp.max(activity(ev, t)) > 0.5)
 
-    state0 = (ev0, jnp.zeros(shape, jnp.float32))
-    _, (ev, steps) = jax.lax.while_loop(cond, body, (0, state0))
+    state0 = (ev0, jnp.zeros(shape, jnp.float32), ev0,
+              jnp.full(shape, -1.0, jnp.float32),
+              jnp.full(shape, dt, jnp.float32))
+    _, (ev, t, evb, dh, dlt) = jax.lax.while_loop(cond, body, (0, state0))
 
-    choice = jnp.where(ev >= boundary, 1.0, jnp.where(ev <= 0.0, -1.0, 0.0))
+    up = ev >= boundary
+    lo = ev <= 0.0
+    crossed = (up | lo) & active0 & (t > 0.0)
+    if bridge:
+        # exact within-step crossing time, once per walk (GIG(1/2) law;
+        # see ddm_sim.bridge_crossing_time)
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        bits3 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        nu = jnp.sqrt(-2.0 * jnp.log(_uniform01(bits1))) * \
+            jnp.cos(_TWO_PI * _uniform01(bits2))
+        uu = _uniform01(bits3)
+        d0 = jnp.maximum(jnp.where(up, boundary - evb, evb), 0.0)
+        dend = jnp.maximum(
+            jnp.where(dh >= 0.0, dh, jnp.where(up, ev - boundary, -ev)), 0.0)
+        q = jnp.maximum(d0 * dend / (sigma * sigma * dlt), _MIN_Q)
+        y = nu * nu
+        x = jnp.maximum(
+            1.0 + (y - jnp.sqrt(y * (4.0 * q + y))) / (2.0 * q), _MIN_Q)
+        ig = jnp.where(uu < 1.0 / (1.0 + x), x, 1.0 / x)
+        f = jnp.clip(d0 * ig / jnp.maximum(d0 * ig + dend, _MIN_Q),
+                     _MIN_FRAC, 1.0)
+        rt = jnp.where(crossed, t - (1.0 - f) * dlt, t)
+        rt = jnp.minimum(rt, t_max)
+        # encode rt exactly as (steps, frac): rt = (steps - 1 + frac) * dt
+        sgrid = jnp.minimum(jnp.ceil(rt / dt), float(max_steps))
+        frac_out = jnp.clip(rt / dt - (sgrid - 1.0), 0.0, 1.0)
+    else:
+        sgrid = jnp.minimum(t, t_cap)
+        frac_out = jnp.ones(shape, jnp.float32)
+
+    choice = jnp.where(up, 1.0, jnp.where(lo, -1.0, 0.0))
     choice = jnp.where(active0, choice, 0.0)
-    steps_ref[:] = steps
+    steps_ref[:] = sgrid
     choice_ref[:] = choice
+    frac_ref[:] = frac_out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "dt", "max_steps", "block_rows"))
+    jax.jit,
+    static_argnames=("shape", "dt", "max_steps", "block_rows", "bridge"))
 def first_passage_pallas(
     seed: Array,
     drift: Array,
@@ -118,6 +224,7 @@ def first_passage_pallas(
     max_steps: int = 400,
     active: Array | None = None,
     block_rows: int = BLOCK_ROWS,
+    bridge: bool = True,
 ) -> FirstPassage:
     """Pallas first-passage simulator.
 
@@ -148,16 +255,18 @@ def first_passage_pallas(
                          memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((rows, LANES), f32)
 
-    steps, choice = pl.pallas_call(
-        functools.partial(_fp_kernel, dt=dt, max_steps=max_steps),
+    steps, choice, frac = pl.pallas_call(
+        functools.partial(_fp_kernel, dt=dt, max_steps=max_steps,
+                          bridge=bridge),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [bspec] * 5,
-        out_specs=(bspec, bspec),
-        out_shape=(out_shape, out_shape),
+        out_specs=(bspec, bspec, bspec),
+        out_shape=(out_shape, out_shape, out_shape),
     )(jnp.asarray(seed, jnp.int32).reshape(1),
       flat(drift), flat(boundary, fill=1.0), flat(beta, fill=0.5),
       flat(dc, fill=1.0), flat(act, fill=0.0))
 
     steps = steps.reshape(-1)[:total].reshape(shape).astype(jnp.int32)
     choice = choice.reshape(-1)[:total].reshape(shape).astype(jnp.int8)
-    return FirstPassage(steps=steps, choice=choice)
+    frac = frac.reshape(-1)[:total].reshape(shape)
+    return FirstPassage(steps=steps, choice=choice, frac=frac)

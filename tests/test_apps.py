@@ -38,6 +38,13 @@ def test_stahl_loader_and_padding(tmp_path):
     data, mask, log_n, parts, counts = to_padded_batch(d, "pe")
     assert data.shape == (5, 40, 2) and mask.all()
     np.testing.assert_allclose(np.exp(log_n[:, 0]), counts)
+    # explicit n_pad below the largest participant must refuse to drop
+    # trials unless truncation is explicitly allowed (VERDICT r2 Weak #7)
+    with pytest.raises(ValueError, match="drop trials"):
+        to_padded_batch(d, "pe", n_pad=30)
+    data2, mask2, *_ = to_padded_batch(d, "pe", n_pad=30,
+                                       allow_truncate=True)
+    assert data2.shape == (5, 30, 2) and mask2.all()
 
 
 @pytest.mark.slow

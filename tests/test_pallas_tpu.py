@@ -18,22 +18,35 @@ pytestmark = pytest.mark.skipif(not _on_tpu(), reason="requires TPU")
 
 
 def test_pallas_matches_xla_statistics():
+    """HW-PRNG Box-Muller Pallas vs threefry XLA: same first-passage law.
+
+    n = 1.23M walks across two seeds puts the MC sd of p_up at ~4.4e-4 and
+    of mean RT at ~3e-4 s; tolerances are ~4 sd — tight enough to catch
+    any systematic bridge-rule divergence between the two backends
+    (VERDICT r2 Next #7)."""
     import jax.numpy as jnp
     from bayesflow_nddms_tpu.ops.ddm_pallas import first_passage_pallas
     from bayesflow_nddms_tpu.ops.ddm_sim import first_passage
-    shape = (512, 300)
-    fp_p = first_passage_pallas(jnp.int32(3), 1.0, 1.5, 0.5, 1.0,
-                                shape=shape, dt=0.01, max_steps=400)
-    fp_x = first_passage(jax.random.PRNGKey(3), 1.0, 1.5, 0.5, 1.0,
-                         shape=shape, dt=0.01, max_steps=400)
-    for fp in (fp_p, fp_x):
-        assert np.asarray(fp.steps).shape == shape
-    p_p = (np.asarray(fp_p.choice) == 1).mean()
-    p_x = (np.asarray(fp_x.choice) == 1).mean()
-    assert abs(p_p - p_x) < 0.01
-    t_p = np.asarray(fp_p.steps).mean()
-    t_x = np.asarray(fp_x.steps).mean()
-    assert abs(t_p - t_x) / t_x < 0.03
+    shape = (2048, 300)
+    dt = 0.01
+    p_p = p_x = t_p = t_x = f_p = f_x = 0.0
+    for seed in (3, 11):
+        fp_p = first_passage_pallas(jnp.int32(seed), 1.0, 1.5, 0.5, 1.0,
+                                    shape=shape, dt=dt, max_steps=400)
+        fp_x = first_passage(jax.random.PRNGKey(seed), 1.0, 1.5, 0.5, 1.0,
+                             shape=shape, dt=dt, max_steps=400)
+        for fp in (fp_p, fp_x):
+            assert np.asarray(fp.steps).shape == shape
+        p_p += (np.asarray(fp_p.choice) == 1).mean() / 2
+        p_x += (np.asarray(fp_x.choice) == 1).mean() / 2
+        t_p += np.asarray(fp_p.decision_time(dt)).mean() / 2
+        t_x += np.asarray(fp_x.decision_time(dt)).mean() / 2
+        f_p += np.asarray(fp_p.frac).mean() / 2
+        f_x += np.asarray(fp_x.frac).mean() / 2
+    assert abs(p_p - p_x) < 0.002
+    assert abs(t_p - t_x) < 0.0015
+    # sub-step crossing fractions must agree in level too
+    assert abs(f_p - f_x) < 0.003
 
 
 def test_pallas_active_mask():

@@ -9,8 +9,12 @@ coefficient sigma, boundaries [0, a], start z = beta*a,
     E[T]     = (a * P(upper) - z) / mu          (mu != 0)
     E[T]     = z (a - z) / sigma^2              (mu == 0)
 
-EM with step dt has a known O(sqrt(dt)) boundary-overshoot bias, so
-tolerances are set accordingly (tighter at smaller dt).
+Plain EM with step dt has a known O(sqrt(dt)) boundary-overshoot bias; the
+kernels' Brownian-bridge crossing correction (ops/ddm_sim.py docstring)
+removes it, so the default path is tested at the production dt = 0.01
+against the analytic values at near-MC-noise tolerances, and the
+``bridge=False`` ablation is tested to show exactly the bias the
+correction removes.
 """
 
 import math
@@ -45,40 +49,152 @@ def analytic_mean_t(mu, a, z, sigma=1.0):
     (1.0, 1.5, 0.5, 2.0),   # free diffusion coefficient (the dcDDM twist)
 ])
 def test_first_passage_matches_analytic(mu, a, beta, dc):
+    """Bridge-corrected kernel at the PRODUCTION grid (dt=.01) must hit the
+    continuum values at near-MC-noise tolerance (n=200k: sd(p) ~ 1e-3)."""
     n = 200_000
-    dt = 0.002
+    dt = 0.01
     key = jax.random.PRNGKey(42)
     fp = first_passage(key, mu, a, beta, dc, shape=(1, n), dt=dt,
-                       max_steps=4000)
-    steps = np.asarray(fp.steps[0])
+                       max_steps=1600)
+    t = np.asarray(fp.decision_time(dt)[0])
     choice = np.asarray(fp.choice[0]).astype(int)
     assert (choice == 0).mean() < 1e-3  # essentially no missing responses
     hit = choice != 0
     p_up = (choice[hit] == 1).mean()
-    mean_t = (steps[hit] * dt).mean()
+    mean_t = t[hit].mean()
 
     z = beta * a
     p_ref = analytic_p_upper(mu, a, z, dc)
     t_ref = analytic_mean_t(mu, a, z, dc)
-    # EM overshoot inflates the effective boundary by ~0.5826*dc*sqrt(dt)
-    overshoot = 0.5826 * dc * math.sqrt(dt)
-    assert abs(p_up - p_ref) < 0.02 + overshoot
-    assert abs(mean_t - t_ref) < 0.05 * t_ref + 3.0 * overshoot * a
+    assert abs(p_up - p_ref) < 0.005
+    assert abs(mean_t - t_ref) < 0.004 + 0.01 * t_ref
 
 
-def test_em_bias_shrinks_with_dt():
-    """Finer dt must move the EM mean RT toward the continuum value
-    (the reference's fine-grained check, single_trial_alpha_not_scaled.py
-    :1702-1765, uses dt=.001 vs .01 the same way)."""
+def test_bridge_removes_em_bias():
+    """The bridge=False ablation must show the classic boundary-overshoot
+    bias (effective boundary inflated by ~0.5826*dc*sqrt(dt)) that the
+    default path removes; bridge at dt=.01 must beat even plain EM at
+    dt=.001 (the reference's fine-grained workaround,
+    single_trial_alpha_not_scaled.py:1702-1765)."""
     mu, a, beta = 1.0, 1.5, 0.5
     t_ref = analytic_mean_t(mu, a, beta * a)
-    errs = []
-    for dt, ms in [(0.01, 800), (0.001, 8000)]:
+    errs = {}
+    for label, (dt, ms, bridge) in {
+        "plain_01": (0.01, 800, False),
+        "plain_001": (0.001, 8000, False),
+        "bridge_01": (0.01, 800, True),
+    }.items():
         fp = first_passage(jax.random.PRNGKey(0), mu, a, beta, 1.0,
-                           shape=(1, 100_000), dt=dt, max_steps=ms)
+                           shape=(1, 100_000), dt=dt, max_steps=ms,
+                           bridge=bridge)
         hit = np.asarray(fp.choice[0]) != 0
-        errs.append(abs((np.asarray(fp.steps[0])[hit] * dt).mean() - t_ref))
-    assert errs[1] < errs[0]
+        t = np.asarray(fp.decision_time(dt)[0])
+        errs[label] = abs(t[hit].mean() - t_ref)
+    assert errs["plain_001"] < errs["plain_01"]
+    assert errs["bridge_01"] < errs["plain_001"]
+    # plain EM at dt=.01 carries the overshoot bias; bridge kills it
+    overshoot_dt = 0.5826 * math.sqrt(0.01) * a  # rough E[T] scale of bias
+    assert errs["plain_01"] > 0.3 * overshoot_dt
+    assert errs["bridge_01"] < 0.1 * overshoot_dt
+
+
+def test_decision_times_leave_the_grid():
+    """RTs must be continuous, not multiples of dt: the sub-step crossing
+    fraction has to spread decision times inside each dt bin (this is what
+    fixes the reference-scale ter SBC failure, VERDICT r2 Weak #1)."""
+    dt = 0.01
+    fp = first_passage(jax.random.PRNGKey(5), 1.0, 1.5, 0.5, 1.0,
+                       shape=(1, 50_000), dt=dt, max_steps=800)
+    hit = np.asarray(fp.choice[0]) != 0
+    t = np.asarray(fp.decision_time(dt)[0])[hit]
+    fracpart = t / dt - np.floor(t / dt)
+    # near-uniform coverage of the intra-bin fraction
+    assert fracpart.std() > 0.2
+    hist, _ = np.histogram(fracpart, bins=10, range=(0, 1))
+    assert hist.min() > 0.5 * hist.mean()
+
+
+def _reference_bridge_loop(ev0, xi, u, drift_dt, sqrt_dt_dc, boundary,
+                           inv2, max_steps):
+    """Independent plain-Python re-statement of the exact-transition +
+    bridge-test step rule, fed pre-drawn noise — the reviewer's
+    pre-drawn-noise stress test (Basic_DDM_simulations.py:75-125) adapted
+    to the bridge kernel. Every op mirrors ops/ddm_sim._bridge_step but is
+    written against numpy-style jnp calls in a Python for-loop, not
+    lax.scan. Returns the loop state needed for the post-loop crossing-time
+    draw."""
+    ev = ev0
+    steps = jnp.zeros_like(ev0, dtype=jnp.int32)
+    evb = ev0
+    dh = jnp.full_like(ev0, -1.0)
+    choice = jnp.zeros_like(ev0, dtype=jnp.int8)
+    done = (ev0 >= boundary) | (ev0 <= 0.0)
+    for t in range(xi.shape[0]):
+        act = (~done) & (steps < max_steps)
+        ev_new = ev + jnp.where(act, drift_dt + sqrt_dt_dc * xi[t], 0.0)
+        inside = (ev_new > 0.0) & (ev_new < boundary)
+        detected = act & ~inside
+        take_up = (ev + ev_new) > boundary
+        d0 = jnp.where(take_up, boundary - ev, ev)
+        d1 = jnp.where(take_up, boundary - ev_new, ev_new)
+        p = jnp.exp(-d0 * d1 * inv2)
+        hidden = act & inside & (u[t] < p)
+        crossed = detected | hidden
+        evb = jnp.where(crossed, ev, evb)
+        dh = jnp.where(hidden, d1, dh)
+        up = (detected & (ev_new >= boundary)) | (hidden & take_up)
+        lo = crossed & ~up
+        ev_new = jnp.where(hidden & take_up, boundary,
+                           jnp.where(hidden & ~take_up, 0.0, ev_new))
+        choice = choice + up.astype(jnp.int8) - lo.astype(jnp.int8)
+        steps = steps + act.astype(jnp.int32)
+        done = done | crossed
+        ev = ev_new
+    return ev, steps, evb, dh, choice
+
+
+def test_predrawn_noise_equivalence():
+    """Feed the exact noise stream the scan kernel consumes through an
+    independent step-loop: trajectories must agree bitwise (steps/choice
+    exactly, crossing-state floats to float32 round-off)."""
+    from bayesflow_nddms_tpu.ops.ddm_sim import _finalize_frac
+
+    key = jax.random.PRNGKey(9)
+    shape = (1, 2048)
+    mu, a, beta, dc = 0.8, 1.4, 0.45, 1.2
+    dt, max_steps = 0.01, 120
+    fp = first_passage(key, mu, a, beta, dc, shape=shape, dt=dt,
+                       max_steps=max_steps, chunk=30, unroll=2)
+    # reproduce the kernel's per-step noise derivation (ddm_sim.py step())
+    xi = jnp.stack([
+        jax.random.normal(
+            jax.random.fold_in(jax.random.fold_in(key, t), 0), shape)
+        for t in range(max_steps)])
+    u = jnp.stack([
+        jax.random.uniform(
+            jax.random.fold_in(jax.random.fold_in(key, t), 1), shape,
+            minval=1e-6, maxval=1.0)
+        for t in range(max_steps)])
+    f32 = jnp.float32
+    sqrt_dt_dc = jnp.sqrt(jnp.asarray(dt, f32)) * jnp.asarray(dc, f32)
+    inv2 = 2.0 / (sqrt_dt_dc * sqrt_dt_dc)
+    bnd = jnp.broadcast_to(jnp.asarray(a, f32), shape)
+    ev, steps, evb, dh, choice = _reference_bridge_loop(
+        jnp.full(shape, a * beta, f32), xi, u,
+        jnp.asarray(mu * dt, f32), sqrt_dt_dc, bnd, inv2, max_steps)
+    np.testing.assert_array_equal(np.asarray(fp.steps), np.asarray(steps))
+    np.testing.assert_array_equal(np.asarray(fp.choice), np.asarray(choice))
+    frac = _finalize_frac(
+        jax.random.fold_in(key, 0x7A11A5), ev, evb, dh,
+        jnp.where(steps > 0, choice, 0), bnd,
+        jnp.broadcast_to(inv2, shape))
+    frac = jnp.where(steps > 0, frac, 1.0)
+    # XLA may lower divides as reciprocal-multiplies (2e-5 of a 10 ms step
+    # = 0.2 us of RT), and the crossing-time sampler's accept test can
+    # flip on 1-ulp input differences — allow a handful of those flips.
+    f_a, f_b = np.asarray(fp.frac), np.asarray(frac)
+    close = np.isclose(f_a, f_b, atol=2e-5, rtol=1e-4)
+    assert close.mean() > 0.99, f"{(~close).sum()} / {close.size} differ"
 
 
 def test_missing_responses_at_cap():
