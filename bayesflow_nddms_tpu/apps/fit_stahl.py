@@ -52,11 +52,63 @@ def prop_cognitive_variance(post: np.ndarray, std_alpha_idx=4, sigma1_idx=6):
     return cog / np.maximum(tot, 1e-12)
 
 
+def explore_stahl(stahl, plot_dir: str) -> dict:
+    """Pre-fit data exploration (the reference's ``explore`` flag,
+    fitting_stahl_data.py:125-155): first-participant histograms of the
+    three engineered covariates and the correlation heatmap across the
+    engineered columns. Returns the printed summary stats."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(plot_dir, exist_ok=True)
+    first = stahl.subj == stahl.participants[0]
+    cols = {"alpha_like_pe": stahl.alpha_like_pe,
+            "alpha_invert_pe": stahl.alpha_invert_pe,
+            "alpha_like_fake": stahl.alpha_like_fake}
+    out = {}
+    fig, axes = plt.subplots(1, 3, figsize=(13, 4), tight_layout=True)
+    for ax, (name, col) in zip(axes, cols.items()):
+        v = col[first]
+        ax.hist(v, bins=20)
+        ax.set_title(f"{name}\nmean {v.mean():.3f} sd {v.std():.3f}")
+        out[name] = {"mean": float(v.mean()), "sd": float(v.std()),
+                     "any_nan": bool(np.any(np.isnan(col)))}
+    fig.savefig(os.path.join(plot_dir, "explore_covariate_hists.png"),
+                dpi=120)
+    plt.close(fig)
+
+    mat = np.stack([stahl.choicert, np.abs(stahl.choicert),
+                    stahl.normalized_ne, stahl.alpha_like_pe,
+                    stahl.alpha_invert_pe, stahl.alpha_like_fake])
+    labels = ["choicert", "rt", "normalized_ne", "alpha_like_pe",
+              "alpha_invert_pe", "alpha_like_fake"]
+    corr = np.corrcoef(mat)
+    fig, ax = plt.subplots(figsize=(7, 6), tight_layout=True)
+    im = ax.imshow(corr, vmin=-1, vmax=1, cmap="coolwarm")
+    ax.set_xticks(range(len(labels)), labels, rotation=45, ha="right")
+    ax.set_yticks(range(len(labels)), labels)
+    for i in range(len(labels)):
+        for j in range(len(labels)):
+            ax.text(j, i, f"{corr[i, j]:.2f}", ha="center", va="center",
+                    fontsize=8)
+    fig.colorbar(im)
+    fig.savefig(os.path.join(plot_dir, "explore_corr_heatmap.png"), dpi=120)
+    plt.close(fig)
+    out["corr"] = corr.tolist()
+    print(json.dumps({k: v for k, v in out.items() if k != "corr"},
+                     indent=2))
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--csv", default="stahl_data/base_data.csv")
     p.add_argument("--covariate", default="invert",
                    choices=["pe", "invert", "fake", "ne"])
+    p.add_argument("--explore", action="store_true",
+                   help="emit the pre-fit data-exploration plots "
+                        "(fitting_stahl_data.py:125-155)")
     p.add_argument("--ckpt-dir", default=f"checkpoint/{FLAGSHIP}")
     p.add_argument("--train-steps", type=int, default=0,
                    help="train this many steps if no checkpoint exists")
@@ -73,6 +125,8 @@ def main(argv=None):
 
     spec = zoo.get_model(FLAGSHIP)
     stahl = load_stahl_csv(args.csv)
+    if args.explore:
+        explore_stahl(stahl, os.path.join(args.plot_dir, "explore"))
     # pad to the LARGEST participant so no trial is dropped (the reference
     # fits every trial, fitting_stahl_data.py:196-211; largest Stahl
     # participant has 337 > n_max=300). The DeepSet is mask-aware so a

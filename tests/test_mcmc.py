@@ -331,3 +331,126 @@ def test_ridge_parameterization_same_posterior():
     np.testing.assert_allclose(ratio_r, ratio_n, rtol=0.1)
     np.testing.assert_allclose(means["ridge"]["beta"],
                                means["natural"]["beta"], atol=0.06)
+
+
+def test_flagship_logprob_matches_numpy():
+    """make_logprob_flagship against an independent numpy restatement of
+    the flagship joint density (priors + quantile-latent boundaries +
+    covariate normal + per-trial Wiener term)."""
+    from scipy import stats as ss
+    from bayesflow_nddms_tpu.mcmc.wfpt import diffusion_logpdf
+
+    rng = np.random.default_rng(5)
+    P, T = 2, 10
+    N_ = P * T
+    y = (rng.uniform(0.5, 1.2, N_) * rng.choice([-1, 1], N_)).astype(
+        np.float32)
+    ext = rng.normal(1.4, 0.6, N_).astype(np.float32)
+    part = np.repeat(np.arange(P, dtype=np.int32), T)
+    valid = np.ones(N_, bool)
+    valid[3] = False
+    data = M.FlagshipData(y=jnp.asarray(y), ext=jnp.asarray(ext),
+                          participant=jnp.asarray(part), nparts=P,
+                          valid=jnp.asarray(valid))
+    logprob, unflatten, dim = M.make_logprob_flagship(data)
+    z = rng.normal(0, 0.8, dim).astype(np.float32)
+
+    # --- numpy restatement ---
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    names = M._FLAG_ORDER
+    raw = {nm: z[i * P:(i + 1) * P] for i, nm in enumerate(names)}
+    uz = z[7 * P:]
+    th = {"drift": raw["drift"]}
+    lp = ss.norm(0, 2).logpdf(th["drift"]).sum()
+    for nm in names[1:]:
+        lo, hi = M._FLAG_BOUNDS[nm]
+        s = sigmoid(raw[nm])
+        x = lo + (hi - lo) * s
+        th[nm] = x
+        lp += (np.log(hi - lo) + np.log(s) + np.log(1 - s)).sum()
+        if nm == "mu_alpha":
+            d_ = ss.truncnorm(-2.0, 18.0, 1.0, 0.5)
+        elif nm == "beta":
+            d_ = ss.beta(2, 2)
+        elif nm == "ter":
+            d_ = ss.truncnorm(-2.0, 4.0, 0.5, 0.25)
+        elif nm == "std_alpha":
+            d_ = ss.truncnorm(-2.0, 4.0, 1.0, 0.5)
+        elif nm == "dc":
+            d_ = ss.truncnorm(-2.0, 18.0, 1.0, 0.5)
+        else:  # sigma1 ~ U(0, 5)
+            d_ = ss.uniform(0, 5)
+        lp += d_.logpdf(x).sum()
+    s = sigmoid(uz)
+    lp += (np.log(s) + np.log(1 - s)).sum()
+    mu, sd = th["mu_alpha"][part], th["std_alpha"][part]
+    p_lo = ss.norm.cdf(-mu / sd)
+    pq = np.clip(p_lo + s * (1 - p_lo), 1e-7, 1 - 1e-7)
+    bound = np.maximum(mu + sd * ss.norm.ppf(pq), 1e-4)
+    s1 = th["sigma1"][part]
+    lp += ss.norm(bound, s1).logpdf(ext).sum()
+    y_safe = np.where(valid, y, 2.0)
+    ll = np.asarray(diffusion_logpdf(
+        jnp.asarray(y_safe), jnp.asarray(bound, jnp.float32),
+        jnp.asarray(th["ter"][part], jnp.float32),
+        jnp.asarray(th["beta"][part], jnp.float32),
+        jnp.asarray(th["drift"][part], jnp.float32),
+        jnp.asarray(th["dc"][part], jnp.float32)))
+    lp += np.where(valid, ll, 0.0).sum()
+
+    got = float(logprob(jnp.asarray(z)))
+    np.testing.assert_allclose(got, lp, rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_flagship_exact_small_recovery():
+    """NUTS on the exact flagship posterior (globals + per-trial latent
+    boundaries) recovers the generating globals on simulated data — the
+    trial-level-variability check the reference's JAGS/Stan backends never
+    had (they only ever fit the dcDDM, basic_ddm_dc_pyjags.py)."""
+    from bayesflow_nddms_tpu.mcmc import nuts as N
+    from bayesflow_nddms_tpu.models import zoo
+    from bayesflow_nddms_tpu.models.spec import trial_mask
+
+    spec = zoo.get_model("single_trial_alpha_not_scaled")
+    rng = np.random.default_rng(7)
+    P = 2
+    theta = np.stack([
+        rng.uniform(1.0, 2.5, P),      # drift
+        rng.uniform(1.0, 1.5, P),      # mu_alpha
+        rng.uniform(0.45, 0.55, P),    # beta
+        rng.uniform(0.2, 0.4, P),      # ter
+        rng.uniform(0.4, 0.8, P),      # std_alpha
+        rng.uniform(0.9, 1.2, P),      # dc
+        rng.uniform(0.6, 1.2, P),      # sigma1
+    ], axis=-1).astype(np.float32)
+    n = np.array([260, 300])
+    mask = trial_mask(jnp.asarray(n), 300)
+    data = np.asarray(spec.simulate(jax.random.PRNGKey(3),
+                                    jnp.asarray(theta), 300, active=mask))
+    m = np.asarray(mask)
+    yy, ext = data[..., 0], data[..., 1]
+    ds, tr = np.nonzero(m & (yy != 0))
+    mdata = M.FlagshipData(
+        y=jnp.asarray(yy[ds, tr]), ext=jnp.asarray(ext[ds, tr]),
+        participant=jnp.asarray(ds, jnp.int32), nparts=P,
+        valid=jnp.ones(len(ds), bool))
+    logprob, _, dim = M.make_logprob_flagship(mdata)
+    min_rt = np.array([np.abs(yy[p][m[p] & (yy[p] != 0)]).min()
+                       for p in range(P)])
+    q0 = M.flagship_initial_positions(jax.random.PRNGKey(4), mdata, 2,
+                                      jnp.asarray(min_rt, jnp.float32))
+    res = N.run_chains_chunked(logprob, q0, jax.random.PRNGKey(5),
+                               n_warmup=300, n_samples=300, max_depth=7,
+                               chunk=100)
+    sdict = M.flagship_samples_to_dict(np.asarray(res.samples), mdata)
+    post = {k: np.asarray(v).mean(axis=(1, 2)) for k, v in sdict.items()}
+    # sharply identified globals must land near the truth
+    for i, nm in enumerate(M._FLAG_ORDER):
+        if nm in ("drift", "mu_alpha", "ter"):
+            sd = np.asarray(sdict[nm]).std(axis=(1, 2))
+            err = np.abs(post[nm] - theta[:, i])
+            assert np.all(err < np.maximum(4.5 * sd, 0.15)), (
+                nm, post[nm], theta[:, i], sd)
