@@ -49,23 +49,29 @@ def test_exact_sampler_dc_rescaling_invariance():
     np.testing.assert_allclose(q1, q2, rtol=0.03)
 
 
-def test_exact_sampler_vs_em_kernel():
-    """Exact sampler and fine-dt EM kernel must agree in distribution —
-    the latent cross-check between the reference's two simulators."""
+def test_exact_sampler_vs_bridge_kernel_at_production_dt():
+    """Inverse-CDF oracle vs the bridge kernel AT THE PRODUCTION GRID
+    (dt=.01): with exact transitions + bridge crossing tests + GIG
+    crossing times the kernel is an exact sampler at any dt, so the two
+    must agree to MC noise — where the round-2 plain-EM version needed
+    dt=2e-4 and 5% tolerances to pass (the latent cross-check between the
+    reference's two simulators, tightened per VERDICT r2 Next #1)."""
     alpha, nu, beta, dc = 1.2, 0.8, 0.55, 1.3
-    y = np.asarray(simulate_exact(jax.random.PRNGKey(3), n=60_000,
+    n = 100_000
+    y = np.asarray(simulate_exact(jax.random.PRNGKey(3), n=n,
                                   alpha=alpha, tau=0.0, nu=nu, beta=beta,
                                   eta=0.0, varsigma=dc))
     fp = first_passage(jax.random.PRNGKey(4), nu, alpha, beta, dc,
-                       shape=(1, 60_000), dt=2e-4, max_steps=60_000,
-                       chunk=512)
-    steps = np.asarray(fp.steps[0])
+                       shape=(1, n), dt=0.01, max_steps=1600)
+    t = np.asarray(fp.decision_time(0.01)[0])
     ch = np.asarray(fp.choice[0]).astype(int)
-    em_t = steps[ch != 0] * 2e-4
-    assert abs((y > 0).mean() - (ch == 1).mean()) < 0.01
-    np.testing.assert_allclose(np.quantile(np.abs(y), [0.25, 0.5, 0.75]),
-                               np.quantile(em_t, [0.25, 0.5, 0.75]),
-                               rtol=0.05)
+    em_t = t[ch != 0]
+    # p_up MC sd ~ 0.0015 per sampler
+    assert abs((y > 0).mean() - (ch == 1).mean()) < 0.006
+    assert abs(np.abs(y).mean() - em_t.mean()) < 0.006
+    qs = [0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95]
+    np.testing.assert_allclose(np.quantile(np.abs(y), qs),
+                               np.quantile(em_t, qs), rtol=0.02, atol=0.004)
 
 
 def test_exact_sampler_eta_accuracy_matches_theory():
