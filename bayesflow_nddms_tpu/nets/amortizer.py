@@ -44,6 +44,14 @@ from .deepset import DeepSet
 Array = jax.Array
 
 _EPS = 1e-6
+# Slack above min rt for ter's coordinate bound: at reference trial counts
+# the smallest decision time can underflow float32 against ter (rt = ter +
+# 1e-8 rounds to ter), putting the TRUE ter exactly on the bound where a
+# sigmoid coordinate can never reach it (measured: 7.5% of flagship
+# datasets, SBC rank = n_draws spikes). 0.1 ms of slack keeps the truth
+# strictly interior while staying far below any scientific resolution of
+# non-decision time.
+_NDT_SLACK = 1e-4
 
 
 class AmortizedPosterior(nn.Module):
@@ -121,7 +129,7 @@ class AmortizedPosterior(nn.Module):
         lo = jnp.broadcast_to(self._lo, (B, self.n_params))
         hi = jnp.broadcast_to(self._hi, (B, self.n_params))
         if self.ndt_index is not None:
-            m = jnp.minimum(self._min_rt(data, mask),
+            m = jnp.minimum(self._min_rt(data, mask) + _NDT_SLACK,
                             self._hi[self.ndt_index])
             hi = hi.at[:, self.ndt_index].set(m)
         return lo, hi

@@ -120,7 +120,8 @@ def test_sample_in_support_and_below_min_rt():
     rt[~(m_ & (rt > 0))] = np.inf
     minrt = np.minimum(rt.min(axis=1), 1.5)
     i_ter = spec.param_names.index("ter")
-    assert np.all(samp[..., i_ter] <= minrt[:, None] + 1e-6)
+    # bound includes the 0.1 ms float32-safety slack (amortizer._NDT_SLACK)
+    assert np.all(samp[..., i_ter] <= minrt[:, None] + 1.1e-4)
 
 
 def test_logprob_integrates_transform_jacobians():
@@ -147,7 +148,7 @@ def test_logprob_integrates_transform_jacobians():
     m_ = np.asarray(mask)
     rt = np.abs(d_[..., 0])
     rt[~(m_ & (rt > 0))] = np.inf
-    minrt = np.minimum(rt.min(axis=1), 1.5)
+    minrt = np.minimum(rt.min(axis=1) + 1e-4, 1.5)
     expect = np.zeros(3)
     for i, dist in enumerate(spec.prior):
         lo, hi = dist.support

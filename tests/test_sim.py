@@ -293,3 +293,29 @@ def test_drift_alpha_base_channels():
     hit = m & (choice != 0)
     ndt = th[:, 3][:, None] * np.ones_like(rt)
     assert np.all(rt[hit] > ndt[hit] - 1e-5)
+
+
+def test_stratified_n_buckets_cover_range_uniformly():
+    """generate_training_batch draws N stratified over static dataset
+    groups (spec.py _n_buckets): the N marginal must still cover the full
+    {n_min..n_max} range near-uniformly and match mask/log_n exactly."""
+    from bayesflow_nddms_tpu.models.spec import _n_buckets
+
+    spec = zoo.get_model("basic_ddm_dc")
+    groups = _n_buckets(spec, 256, spec.n_max)
+    assert len(groups) == 4
+    assert sum(g[1] for g in groups) == 256
+    assert groups[0][2] == spec.n_min and groups[-1][3] == spec.n_max
+    ns = []
+    for i in range(12):
+        _, data, mask, log_n = generate_training_batch(
+            spec, jax.random.PRNGKey(100 + i), 256, spec.n_max)
+        n = np.asarray(mask).sum(1)
+        np.testing.assert_allclose(np.exp(np.asarray(log_n)[:, 0]), n,
+                                   rtol=1e-5)
+        ns.append(n)
+    ns = np.concatenate(ns)
+    assert ns.min() <= spec.n_min + 2 and ns.max() >= spec.n_max - 2
+    assert abs(ns.mean() - (spec.n_min + spec.n_max) / 2) < 4
+    hist, _ = np.histogram(ns, bins=8, range=(spec.n_min, spec.n_max + 1))
+    assert hist.min() > 0.8 * hist.mean()
