@@ -80,7 +80,11 @@ def _fp_kernel(seed_ref, drift_ref, bound_ref, beta_ref, dc_ref, active_ref,
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     drift = drift_ref[:]
-    sigma = dc_ref[:]
+    # dc == 0 (legal at prior edges) would blow up inv2 and the final
+    # q = d0*dend/(sigma^2 dlt) to inf/NaN; the floor keeps the sigma -> 0
+    # limit finite (deterministic walk, linear crossing fraction) while
+    # being physically negligible against dc/boundary scales ~ 0.1-3.
+    sigma = jnp.maximum(dc_ref[:], 1e-6)
     boundary = bound_ref[:]
     t_max = float(max_steps) * dt
     dt_b = KBIG * dt

@@ -87,7 +87,10 @@ def bridge_crossing_time(d0: Array, d1: Array, inv_var: Array,
     one standard normal ``nu`` and one uniform ``u``
     (Michael–Schucany–Haas).
     """
-    q = jnp.maximum(d0 * d1 * inv_var, _MIN_Q)
+    # upper clip: q -> inf (sigma -> 0) must resolve to the deterministic
+    # limit x -> 1, frac -> d0/(d0+d1), not inf - inf = NaN; 1e18 keeps
+    # y*(4q + y) comfortably inside float32 range
+    q = jnp.clip(d0 * d1 * inv_var, _MIN_Q, 1e18)
     y = nu * nu
     x = 1.0 + (y - jnp.sqrt(y * (4.0 * q + y))) / (2.0 * q)
     x = jnp.maximum(x, _MIN_Q)
@@ -197,7 +200,11 @@ def first_passage(
 
     sqrt_dt_dc = jnp.sqrt(jnp.asarray(dt, f32)) * dc
     drift_dt = drift * dt
-    inv2 = 2.0 / (sqrt_dt_dc * sqrt_dt_dc)
+    # dc == 0 (legal at prior edges / floored trial-level draws) would make
+    # this inf and poison the bridge quantities with 0*inf = NaN; the clamp
+    # keeps the sigma -> 0 limit (deterministic walk, q -> huge -> linear
+    # crossing fraction) finite instead.
+    inv2 = 2.0 / jnp.maximum(sqrt_dt_dc * sqrt_dt_dc, 1e-20)
     n_chunks = -(-max_steps // chunk)
 
     def step(carry, t):

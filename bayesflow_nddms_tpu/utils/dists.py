@@ -139,7 +139,11 @@ def trunc_normal_positive(key: Array, mu: Array, sd: Array,
     """
     a = (0.0 - mu) / sd
     z = jax.random.truncated_normal(key, a, jnp.inf, shape)
-    return mu + sd * z
+    # truncated_normal can return exactly ``a`` (inverse-CDF rounding), so
+    # mu + sd*z can be exactly 0 — which, used as a diffusion coefficient,
+    # divides the simulators' bridge machinery by zero. Floor at a value
+    # far below any physical dc/boundary scale (measure-zero change).
+    return jnp.maximum(mu + sd * z, 1e-6)
 
 
 def halfnorm_lccdf_correction(mu: Array, sd: Array) -> Array:

@@ -206,6 +206,37 @@ def test_missing_responses_at_cap():
     assert np.all(np.asarray(fp.steps) == 100)
 
 
+def test_zero_dc_stays_finite():
+    """dc == 0 (prior lower edge / trunc-normal rounding) must not NaN the
+    bridge machinery: the walk degenerates to the deterministic drift line
+    and the crossing fraction to linear interpolation. Regression for the
+    dc5 training NaN (trial-level dc ~ trunc normal could yield exactly 0,
+    then q = d0*dend/(sigma^2 dt) = inf and x = inf - inf = NaN)."""
+    dc = jnp.array([[0.0], [1e-8], [1e-3], [1.0]])
+    fp = first_passage(jax.random.PRNGKey(11), -1.5, 1.2, 0.4, dc,
+                       shape=(4, 64), dt=0.01, max_steps=300)
+    steps = np.asarray(fp.steps)
+    frac = np.asarray(fp.frac)
+    choice = np.asarray(fp.choice)
+    assert np.all(np.isfinite(frac))
+    rt = (steps - 1 + frac) * 0.01
+    assert np.all(np.isfinite(rt))
+    # sigma -> 0: deterministic drift -1.5 from 0.48 hits 0 at t = 0.32
+    det = rt[:2][choice[:2] != 0]
+    assert det.size and np.allclose(det, 0.32, atol=0.02)
+    assert np.all(choice[0] == -1)
+
+
+def test_trunc_normal_positive_never_zero():
+    """Inverse-CDF truncation can round to the bound; the floor must keep
+    every draw strictly positive (it feeds diffusion coefficients)."""
+    from bayesflow_nddms_tpu.utils.dists import trunc_normal_positive
+    # mu << 0 concentrates z within ~1/|a| of the truncation point, making
+    # exact-0 rounding likely without the floor
+    x = trunc_normal_positive(jax.random.PRNGKey(0), -10.0, 1.0, (1_000_000,))
+    assert float(jnp.min(x)) > 0.0
+
+
 def test_active_mask_zeroes_padding():
     spec = zoo.get_model("single_trial_alpha_not_scaled")
     key = jax.random.PRNGKey(3)
