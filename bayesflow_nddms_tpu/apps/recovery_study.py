@@ -23,6 +23,7 @@ import jax
 from ..diagnostics import plots
 from ..diagnostics.recovery import (run_recovery_study,
                                     run_recovery_study_streaming, sbc_ranks,
+                                    sbc_interval_coverage,
                                     sbc_uniformity_pvalue)
 from ..models import zoo
 from ..train.trainer import TrainConfig, Trainer
@@ -91,6 +92,7 @@ def main(argv=None):
         sample_subset = study.param_samples[:500]
         true_subset = study.true_params[:500]
     sbc_p = sbc_uniformity_pvalue(ranks, args.draws)
+    cov = sbc_interval_coverage(ranks, args.draws)
 
     result = {
         "model": args.model,
@@ -101,6 +103,9 @@ def main(argv=None):
         else None,
         "metrics": study.metrics,
         "sbc_pvalues": {n: float(v) for n, v in zip(names, sbc_p)},
+        "interval_coverage": {
+            n: {"50": float(cov[0, i]), "90": float(cov[1, i]),
+                "95": float(cov[2, i])} for i, n in enumerate(names)},
         "mean_trials": float(study.n_trials.mean()),
     }
     print(json.dumps(result, indent=2))

@@ -212,6 +212,28 @@ def sbc_ranks(true_params: np.ndarray, param_samples: np.ndarray
     return (samples < true_params[:, None, :]).sum(axis=1)  # (T, P) in [0,L]
 
 
+def sbc_interval_coverage(ranks: np.ndarray, n_draws: int,
+                          levels=(0.5, 0.9, 0.95)) -> np.ndarray:
+    """Empirical coverage of central posterior intervals from SBC ranks.
+
+    The PIT of the truth is ``rank / n_draws``; the central q-interval
+    covers the truth iff |PIT - 1/2| <= q/2, so coverage needs no access
+    to the draws themselves. Reported alongside SBC p-values because at
+    reference scale (12,000 test datasets) the chi-square test detects
+    miscalibrations far below practical relevance — coverage gives the
+    effect size (e.g. round 2's failed ter had 95% coverage 0.957,
+    conservative by 0.7 points, while p = 3e-19).
+
+    Returns (len(levels), P) empirical coverages.
+    """
+    ranks = np.asarray(ranks, np.float64)
+    pit = ranks / float(n_draws)
+    out = np.empty((len(levels), ranks.shape[1]))
+    for j, q in enumerate(levels):
+        out[j] = (np.abs(pit - 0.5) <= q / 2.0).mean(axis=0)
+    return out
+
+
 def sbc_uniformity_pvalue(ranks: np.ndarray, n_draws: int,
                           n_bins: int = 20) -> np.ndarray:
     """Chi-square goodness-of-fit p-value of SBC ranks vs uniform,

@@ -88,6 +88,22 @@ def test_sbc_uniform_for_calibrated_sampler():
     assert np.all(p_bad < 1e-6)
 
 
+def test_sbc_interval_coverage():
+    """Calibrated ranks give nominal central-interval coverage; an
+    overconfident sampler (draws too narrow) undercovers."""
+    rng = np.random.default_rng(11)
+    T, L, P = 4000, 199, 2
+    truth = rng.normal(size=(T, P))
+    draws = rng.normal(size=(T, L, P))
+    cov = rec.sbc_interval_coverage(rec.sbc_ranks(truth, draws), L)
+    assert cov.shape == (3, P)
+    for j, q in enumerate((0.5, 0.9, 0.95)):
+        assert np.all(np.abs(cov[j] - q) < 0.03)
+    narrow = draws * 0.3
+    cov_n = rec.sbc_interval_coverage(rec.sbc_ranks(truth, narrow), L)
+    assert np.all(cov_n[1] < 0.6)  # nominal 90% badly undercovered
+
+
 def test_plots_smoke(tmp_path):
     from bayesflow_nddms_tpu.diagnostics import plots
     rng = np.random.default_rng(7)
