@@ -85,6 +85,14 @@ def main(argv=None):
                    help="full-covariance mass (recommended for the dcDDM: "
                         "aligns NUTS with the alpha/varsigma ridge; not "
                         "for the flagship, whose dim is 7P+trials)")
+    p.add_argument("--parameterization", default="natural",
+                   choices=["natural", "ridge"],
+                   help="flagship only: 'ridge' samples in the "
+                        "likelihood-aligned (drift/dc, log(mu_alpha/dc), "
+                        "log(std_alpha/dc), log dc) coordinates where the "
+                        "Wiener scale ridge is a single axis (the dcDDM "
+                        "path gets the equivalent treatment from "
+                        "--dense-mass, which its 5P dim can afford)")
     p.add_argument("--chunk", type=int, default=50)
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--seed", type=int, default=2024)
@@ -165,15 +173,21 @@ def main(argv=None):
             participant=jnp.asarray(ds_idx, jnp.int32),
             nparts=args.num_datasets,
             valid=jnp.ones(len(y), bool))
-        logprob, _, dim = M.make_logprob_flagship(mdata)
+        logprob, _, dim = M.make_logprob_flagship(
+            mdata, parameterization=args.parameterization)
         min_rt = np.array([np.abs(y[ds_idx == i]).min()
                            if np.any(ds_idx == i) else 1.0
                            for i in range(args.num_datasets)])
         q0 = M.flagship_initial_positions(
             jax.random.fold_in(key, 3), mdata, args.chains,
-            jnp.asarray(min_rt, jnp.float32))
-        init_var = _flagship_mass(args, amort_mean, amort_sd, dim)
-        to_dict = lambda s: M.flagship_samples_to_dict(s, mdata)
+            jnp.asarray(min_rt, jnp.float32),
+            parameterization=args.parameterization)
+        if args.parameterization == "ridge":
+            init_var = _flagship_ridge_mass(args, post, dim)
+        else:
+            init_var = _flagship_mass(args, amort_mean, amort_sd, dim)
+        to_dict = lambda s: M.flagship_samples_to_dict(
+            s, mdata, parameterization=args.parameterization)
         name_map = {n_: n_ for n_ in spec.param_names}
     else:
         y = (choice[ds_idx, tr_idx] * rt[ds_idx, tr_idx]).astype(np.float32)
@@ -290,6 +304,32 @@ def _dcddm_mass(args, amort_mean, amort_sd, dim):
             var_z = (sd_x * dz_dx) ** 2
         init_var[b * args.num_datasets:(b + 1) * args.num_datasets] = \
             np.clip(var_z, 1e-6, 1e2)
+    return init_var
+
+
+def _flagship_ridge_mass(args, post, dim):
+    """Amortized preconditioning in the ridge coordinates: instead of a
+    delta-method sigmoid Jacobian, the window-1 inverse mass is the
+    EMPIRICAL variance of the amortized joint draws pushed through the
+    exact sampler-space transform — the draws carry the (drift, mu_alpha,
+    std_alpha, dc) correlations the ridge coordinates decouple."""
+    drift, mu_a, beta, ter = (post[..., 0], post[..., 1], post[..., 2],
+                              post[..., 3])
+    std_a, dc, sigma1 = post[..., 4], post[..., 5], post[..., 6]
+    dc = np.maximum(dc, 1e-4)
+
+    def logit(x, lo, hi):
+        s = np.clip((x - lo) / (hi - lo), 1e-5, 1 - 1e-5)
+        return np.log(s) - np.log1p(-s)
+
+    zs = [drift / dc, np.log(np.maximum(mu_a, 1e-4) / dc),
+          logit(beta, 0.0, 1.0), logit(ter, 0.0, 1.5),
+          np.log(np.maximum(std_a, 1e-4) / dc), np.log(dc),
+          logit(sigma1, 0.0, 5.0)]
+    init_var = np.ones(dim, np.float32)
+    for b, z in enumerate(zs):
+        init_var[b * args.num_datasets:(b + 1) * args.num_datasets] = \
+            np.clip(z.var(axis=1), 1e-6, 1e2)
     return init_var
 
 

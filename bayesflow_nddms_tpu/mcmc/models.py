@@ -261,7 +261,8 @@ class FlagshipData(NamedTuple):
     valid: Array           # (N,) bool
 
 
-def make_logprob_flagship(data: FlagshipData):
+def make_logprob_flagship(data: FlagshipData,
+                          parameterization: str = "natural"):
     """Exact posterior of the FLAGSHIP generative model — a check no
     reference backend has: JAGS/Stan were only ever run on the dcDDM
     (``basic_ddm_dc_pyjags.py``); the trial-level-variability models were
@@ -276,11 +277,31 @@ def make_logprob_flagship(data: FlagshipData):
     fully non-centers the hierarchy (no funnel) and makes every coordinate
     O(1), so unit mass + dual-averaged step size mix well.
 
+    ``parameterization``:
+
+      * ``"natural"`` — per-parameter sigmoid transforms.
+      * ``"ridge"`` — the flagship analog of the dcDDM ridge coordinates:
+        the Wiener density is invariant under joint rescaling of
+        (drift, bound_i, dc), and since the TN+ quantile transform gives
+        ``bound_i = dc * (mu~ + std~ * ndtri(q))`` with the quantile
+        depending only on mu/std, the likelihood-invariant scale ridge is
+        the exact coordinate axis ``c = log dc`` under
+        (drift/dc, log(mu_alpha/dc), log(std_alpha/dc), log dc).
+        ``c`` is then informed only by the ext channel and the priors —
+        a smooth unimodal conditional — instead of dragging every chain
+        along a curved 4-parameter valley. Priors for mu_alpha /
+        std_alpha / dc use the smooth untruncated N(1, .5) pdf: exp
+        coordinates keep them positive, so it differs from the TN pdf
+        only by a constant (the unreachable upper truncations hold
+        <= 3e-5 prior mass).
+
     Returns (logprob_fn, unflatten, dim); layout = 7 global blocks of
     ``nparts`` followed by the ``N`` latents.
     """
     from jax.scipy.special import ndtr, ndtri
 
+    assert parameterization in ("natural", "ridge")
+    ridge = parameterization == "ridge"
     P = data.nparts
     N = int(data.y.shape[0])
     dim = 7 * P + N
@@ -295,11 +316,35 @@ def make_logprob_flagship(data: FlagshipData):
         out["u"] = z[7 * P:]
         return out
 
+    def _smooth_normal_lp(x):
+        # stands in for TN(1, .5, [0, hi]); see docstring
+        return jnp.sum(-0.5 * ((x - 1.0) / 0.5) ** 2
+                       - math.log(0.5) - 0.5 * math.log(2.0 * math.pi))
+
     def logprob(z: Array) -> Array:
         raw = unflatten(z)
-        th = {"drift": raw["drift"]}
-        lp = jnp.sum(_FLAG_PRIORS["drift"].log_prob(th["drift"]))
-        for name in _FLAG_ORDER[1:]:
+        if ridge:
+            # raw slots: drift -> drift/dc, mu_alpha -> log(mu_alpha/dc),
+            # std_alpha -> log(std_alpha/dc), dc -> log dc
+            dc = jnp.exp(raw["dc"])
+            th = {"dc": dc,
+                  "drift": raw["drift"] * dc,
+                  "mu_alpha": jnp.exp(raw["mu_alpha"]) * dc,
+                  "std_alpha": jnp.exp(raw["std_alpha"]) * dc}
+            # triangular Jacobian of (drift/dc, log(mu/dc), log(std/dc),
+            # log dc) -> (drift, mu_alpha, std_alpha, dc)
+            lp = jnp.sum(jnp.log(th["mu_alpha"]) + jnp.log(th["std_alpha"])
+                         + 2.0 * raw["dc"])
+            lp = (lp + jnp.sum(_FLAG_PRIORS["drift"].log_prob(th["drift"]))
+                  + _smooth_normal_lp(th["mu_alpha"])
+                  + _smooth_normal_lp(th["std_alpha"])
+                  + _smooth_normal_lp(th["dc"]))
+            sigmoid_names = ("beta", "ter", "sigma1")
+        else:
+            th = {"drift": raw["drift"]}
+            lp = jnp.sum(_FLAG_PRIORS["drift"].log_prob(th["drift"]))
+            sigmoid_names = _FLAG_ORDER[1:]
+        for name in sigmoid_names:
             lo, hi = _FLAG_BOUNDS[name]
             x, j = _sigmoid_transform(raw[name], lo, hi)
             th[name] = x
@@ -332,7 +377,8 @@ def make_logprob_flagship(data: FlagshipData):
 
 def flagship_initial_positions(key: Array, data: FlagshipData,
                                n_chains: int,
-                               min_rt: Optional[Array] = None) -> Array:
+                               min_rt: Optional[Array] = None,
+                               parameterization: str = "natural") -> Array:
     """Overdispersed chain inits; latents start at their prior median."""
     P = data.nparts
     N = int(data.y.shape[0])
@@ -354,26 +400,49 @@ def flagship_initial_positions(key: Array, data: FlagshipData,
     std_a = jax.random.uniform(ks[4], (n_chains, P), minval=0.3, maxval=1.2)
     dc = jax.random.uniform(ks[5], (n_chains, P), minval=0.7, maxval=1.4)
     sigma1 = jax.random.uniform(ks[6], (n_chains, P), minval=0.5, maxval=2.0)
-    z = jnp.concatenate([
-        drift, logit(mu_a, *_FLAG_BOUNDS["mu_alpha"]),
-        logit(beta, *_FLAG_BOUNDS["beta"]), logit(ter, *_FLAG_BOUNDS["ter"]),
-        logit(std_a, *_FLAG_BOUNDS["std_alpha"]),
-        logit(dc, *_FLAG_BOUNDS["dc"]),
-        logit(sigma1, *_FLAG_BOUNDS["sigma1"]),
-        0.1 * jax.random.normal(ks[7], (n_chains, N)),
-    ], axis=1)
+    if parameterization == "ridge":
+        cols = [drift / dc, jnp.log(mu_a / dc),
+                logit(beta, *_FLAG_BOUNDS["beta"]),
+                logit(ter, *_FLAG_BOUNDS["ter"]),
+                jnp.log(std_a / dc), jnp.log(dc),
+                logit(sigma1, *_FLAG_BOUNDS["sigma1"])]
+    else:
+        cols = [drift, logit(mu_a, *_FLAG_BOUNDS["mu_alpha"]),
+                logit(beta, *_FLAG_BOUNDS["beta"]),
+                logit(ter, *_FLAG_BOUNDS["ter"]),
+                logit(std_a, *_FLAG_BOUNDS["std_alpha"]),
+                logit(dc, *_FLAG_BOUNDS["dc"]),
+                logit(sigma1, *_FLAG_BOUNDS["sigma1"])]
+    z = jnp.concatenate(cols + [0.1 * jax.random.normal(ks[7],
+                                                        (n_chains, N))],
+                        axis=1)
     return z
 
 
-def flagship_samples_to_dict(samples: Array, data: FlagshipData) -> dict:
+def flagship_samples_to_dict(samples: Array, data: FlagshipData,
+                             parameterization: str = "natural") -> dict:
     """(chains, S, dim) unconstrained -> constrained global arrays in the
     reference layout (P, S, C); latents are omitted."""
     P = data.nparts
-    out = {}
-    for i, name in enumerate(_FLAG_ORDER):
-        block = samples[..., i * P:(i + 1) * P]     # (C, S, P)
-        if name != "drift":
-            lo, hi = _FLAG_BOUNDS[name]
-            block = lo + (hi - lo) * jax.nn.sigmoid(block)
-        out[name] = jnp.moveaxis(block, (0, 1, 2), (2, 1, 0))
-    return {k: jnp.asarray(v) for k, v in out.items()}
+    blocks = {name: samples[..., i * P:(i + 1) * P]   # (C, S, P)
+              for i, name in enumerate(_FLAG_ORDER)}
+
+    def sig(name):
+        lo, hi = _FLAG_BOUNDS[name]
+        return lo + (hi - lo) * jax.nn.sigmoid(blocks[name])
+
+    if parameterization == "ridge":
+        dc = jnp.exp(blocks["dc"])
+        constrained = {
+            "drift": blocks["drift"] * dc,
+            "mu_alpha": jnp.exp(blocks["mu_alpha"]) * dc,
+            "std_alpha": jnp.exp(blocks["std_alpha"]) * dc,
+            "dc": dc,
+            "beta": sig("beta"), "ter": sig("ter"), "sigma1": sig("sigma1"),
+        }
+    else:
+        constrained = {"drift": blocks["drift"],
+                       **{n: sig(n) for n in _FLAG_ORDER[1:]}}
+    return {name: jnp.asarray(jnp.moveaxis(constrained[name],
+                                           (0, 1, 2), (2, 1, 0)))
+            for name in _FLAG_ORDER}

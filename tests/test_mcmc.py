@@ -454,3 +454,128 @@ def test_flagship_exact_small_recovery():
             err = np.abs(post[nm] - theta[:, i])
             assert np.all(err < np.maximum(4.5 * sd, 0.15)), (
                 nm, post[nm], theta[:, i], sd)
+
+
+def test_flagship_ridge_logprob_finite_and_roundtrip():
+    """Ridge coordinates: logprob and its gradient are finite at
+    overdispersed inits, and samples_to_dict inverts the coordinate map
+    (mu_alpha = exp(slot) * dc etc.)."""
+    rng = np.random.default_rng(9)
+    P, T = 2, 12
+    N_ = P * T
+    y = (rng.uniform(0.5, 1.2, N_) * rng.choice([-1, 1], N_)).astype(
+        np.float32)
+    ext = rng.normal(1.4, 0.6, N_).astype(np.float32)
+    part = np.repeat(np.arange(P, dtype=np.int32), T)
+    data = M.FlagshipData(y=jnp.asarray(y), ext=jnp.asarray(ext),
+                          participant=jnp.asarray(part), nparts=P,
+                          valid=jnp.ones(N_, bool))
+    logprob, _, dim = M.make_logprob_flagship(data, parameterization="ridge")
+    q0 = M.flagship_initial_positions(jax.random.PRNGKey(0), data, 4,
+                                      jnp.asarray([0.5, 0.5], jnp.float32),
+                                      parameterization="ridge")
+    for c in range(4):
+        lp = float(logprob(q0[c]))
+        g = np.asarray(jax.grad(logprob)(q0[c]))
+        assert np.isfinite(lp) and np.all(np.isfinite(g))
+    sdict = M.flagship_samples_to_dict(
+        np.asarray(q0)[:, None, :], data, parameterization="ridge")
+    z = np.asarray(q0)
+    dc = np.exp(z[:, 5 * P:6 * P])
+    np.testing.assert_allclose(np.asarray(sdict["dc"])[:, 0, :].T, dc,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sdict["mu_alpha"])[:, 0, :].T,
+                               np.exp(z[:, P:2 * P]) * dc, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sdict["drift"])[:, 0, :].T,
+                               z[:, :P] * dc, rtol=1e-5)
+
+
+def test_flagship_ridge_same_density():
+    """The ridge coordinates define the SAME posterior density as the
+    natural coordinates: for any theta, lp_ridge(z_r(theta)) minus
+    lp_natural(z_n(theta)), after removing each side's NUMERICALLY
+    computed log|det dtheta/dz| (jax.jacfwd — independent of the
+    implementation's analytic Jacobians), must be a theta-independent
+    constant (the TN -> untruncated-normal prior-normalizer offset,
+    3 params x P datasets x log Phi(2)).
+
+    A deterministic, pointwise-exact replacement for an MCMC
+    natural-vs-ridge comparison, which the natural coordinates' slow
+    ridge mixing makes hopelessly noisy at test budgets."""
+    rng = np.random.default_rng(3)
+    P, T = 2, 8
+    N_ = P * T
+    y = (rng.uniform(0.5, 1.2, N_) * rng.choice([-1, 1], N_)).astype(
+        np.float32)
+    ext = rng.normal(1.4, 0.6, N_).astype(np.float32)
+    part = np.repeat(np.arange(P, dtype=np.int32), T)
+    data = M.FlagshipData(y=jnp.asarray(y), ext=jnp.asarray(ext),
+                          participant=jnp.asarray(part), nparts=P,
+                          valid=jnp.ones(N_, bool))
+    lp_n, _, dim = M.make_logprob_flagship(data, "natural")
+    lp_r, _, _ = M.make_logprob_flagship(data, "ridge")
+    B = M._FLAG_BOUNDS
+
+    def logit(x, lo, hi):
+        p = (x - lo) / (hi - lo)
+        return np.log(p) - np.log1p(-p)
+
+    def z_nat(th, u):
+        return np.concatenate([
+            th["drift"], logit(th["mu_alpha"], *B["mu_alpha"]),
+            logit(th["beta"], *B["beta"]), logit(th["ter"], *B["ter"]),
+            logit(th["std_alpha"], *B["std_alpha"]),
+            logit(th["dc"], *B["dc"]),
+            logit(th["sigma1"], *B["sigma1"]), u]).astype(np.float32)
+
+    def z_rid(th, u):
+        dc = th["dc"]
+        return np.concatenate([
+            th["drift"] / dc, np.log(th["mu_alpha"] / dc),
+            logit(th["beta"], *B["beta"]), logit(th["ter"], *B["ter"]),
+            np.log(th["std_alpha"] / dc), np.log(dc),
+            logit(th["sigma1"], *B["sigma1"]), u]).astype(np.float32)
+
+    def glob_from_z_nat(zg):
+        out = [zg[0:P]]
+        for i, nm in enumerate(("mu_alpha", "beta", "ter", "std_alpha",
+                                "dc", "sigma1")):
+            lo, hi = B[nm]
+            out.append(lo + (hi - lo)
+                       * jax.nn.sigmoid(zg[(i + 1) * P:(i + 2) * P]))
+        return jnp.concatenate(out)
+
+    def glob_from_z_rid(zg):
+        dc = jnp.exp(zg[5 * P:6 * P])
+        out = [zg[0:P] * dc, jnp.exp(zg[P:2 * P]) * dc]
+        for i, nm in zip((2, 3), ("beta", "ter")):
+            lo, hi = B[nm]
+            out.append(lo + (hi - lo)
+                       * jax.nn.sigmoid(zg[i * P:(i + 1) * P]))
+        out.append(jnp.exp(zg[4 * P:5 * P]) * dc)
+        out.append(dc)
+        lo, hi = B["sigma1"]
+        out.append(lo + (hi - lo) * jax.nn.sigmoid(zg[6 * P:7 * P]))
+        return jnp.concatenate(out)
+
+    resids = []
+    for _ in range(4):
+        th = {"drift": rng.uniform(-2, 2, P),
+              "mu_alpha": rng.uniform(0.8, 1.6, P),
+              "beta": rng.uniform(0.35, 0.65, P),
+              "ter": rng.uniform(0.2, 0.45, P),
+              "std_alpha": rng.uniform(0.4, 1.0, P),
+              "dc": rng.uniform(0.7, 1.4, P),
+              "sigma1": rng.uniform(0.6, 1.5, P)}
+        u = rng.normal(0, 0.5, N_)
+        zn, zr = z_nat(th, u), z_rid(th, u)
+        Jn = np.linalg.slogdet(np.asarray(
+            jax.jacfwd(glob_from_z_nat)(jnp.asarray(zn[:7 * P]))))[1]
+        Jr = np.linalg.slogdet(np.asarray(
+            jax.jacfwd(glob_from_z_rid)(jnp.asarray(zr[:7 * P]))))[1]
+        resids.append((float(lp_r(jnp.asarray(zr))) - Jr)
+                      - (float(lp_n(jnp.asarray(zn))) - Jn))
+    resids = np.asarray(resids)
+    expected = 6.0 * np.log(0.9772499)  # 3 params x P=2 x log Phi(2)
+    assert np.max(resids) - np.min(resids) < 5e-3, resids
+    np.testing.assert_allclose(resids.mean(), expected, atol=5e-3)
