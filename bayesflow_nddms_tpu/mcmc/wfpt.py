@@ -91,7 +91,16 @@ def diffusion_logpdf(y: Array, boundary: Array, ndt: Array, beta: Array,
     Stan ``diffusion_lpdf`` exactly (``basic_ddm_dc_pystan2.py:119-131``):
 
       * |y| < ndt is remapped to decision time 1e-4 (the reference evaluates
-        at ter + 1e-4, i.e. decision time 1e-4);
+        at ter + 1e-4, i.e. decision time 1e-4) PLUS a steep linear penalty
+        -1e4 * (ndt - |y|). The remap alone (pystan2:122-124) leaves the
+        density FINITE and tunable in the impossible region, which creates a
+        spurious global mode at ndt > max|y| (every trial evaluated at
+        t_dec = 1e-4 with boundary/dc and beta driven to the corner where
+        that density is enormous — observed: flagship NUTS chains converging
+        to ter ~ 1.5 with all RTs < 1.2). Stan's real wiener_lpdf and JAGS
+        dwiener simply REJECT rt <= ndt; the penalty is that rejection made
+        HMC-differentiable, and is identically ZERO whenever ndt < |y| for
+        every trial, i.e. in the entire support of the true posterior;
       * upper-boundary hits use the reflection (w -> 1-w, v -> -v);
       * dc rescaling: a/dc, v/dc.
     """
@@ -99,11 +108,12 @@ def diffusion_logpdf(y: Array, boundary: Array, ndt: Array, beta: Array,
     v = drift / dc
     rt = jnp.abs(y)
     t_dec = jnp.maximum(rt - ndt, 1e-4)   # |y| < ter guard (pystan2:122-124)
+    penalty = -1e4 * jnp.maximum(ndt - rt, 0.0)
     upper = y >= 0
     # lower-boundary density of the (possibly reflected) process
     w = jnp.where(upper, 1.0 - beta, beta)
     vv = jnp.where(upper, -v, v)
-    return wfpt_logpdf_lower(t_dec, vv, a, w)
+    return wfpt_logpdf_lower(t_dec, vv, a, w) + penalty
 
 
 def wfpt_logpdf(t: Array, choice: Array, drift: Array, boundary: Array,

@@ -79,6 +79,23 @@ def test_diffusion_logpdf_guard_small_rt():
     assert np.isfinite(float(lp))
 
 
+def test_diffusion_logpdf_guard_is_a_barrier():
+    """The impossible region ndt > |y| must be steeply penalized — the
+    bare t_dec = 1e-4 remap leaves a FINITE spurious mode there that
+    long-warmup NUTS chains find (observed: flagship ter -> 1.5 with all
+    RTs < 1.2). The penalty must be zero in the legitimate region and
+    make any material violation catastrophically unlikely."""
+    legit = float(diffusion_logpdf(jnp.float32(0.8), 1.0, 0.3, 0.5,
+                                   1.0, 1.0))
+    # the same observation with ndt pushed above |y|
+    bad = float(diffusion_logpdf(jnp.float32(0.8), 1.0, 1.3, 0.5, 1.0, 1.0))
+    assert np.isfinite(bad) and bad < legit - 1e3
+    # the penalty is exactly zero whenever ndt < |y|: nudging ndt within
+    # the legit region changes the density only through the WFPT term
+    a = float(diffusion_logpdf(jnp.float32(0.8), 1.0, 0.30, 0.5, 1.0, 1.0))
+    assert abs(a - legit) < 1e-6
+
+
 def test_hmc_gaussian_target():
     """HMC must recover mean/var of a correlated Gaussian."""
     cov = jnp.array([[1.0, 0.6], [0.6, 2.0]])
