@@ -93,6 +93,15 @@ def main(argv=None):
                         "Wiener scale ridge is a single axis (the dcDDM "
                         "path gets the equivalent treatment from "
                         "--dense-mass, which its 5P dim can afford)")
+    p.add_argument("--marginal", action="store_true",
+                   help="flagship only: integrate the per-trial latent "
+                        "boundary out analytically + by quantile "
+                        "quadrature (make_logprob_flagship_marginal) — "
+                        "NUTS runs over 7 globals per dataset instead of "
+                        "7 + n_trials, making dense mass and large "
+                        "dataset counts affordable")
+    p.add_argument("--n-quad", type=int, default=24,
+                   help="Gauss-Legendre nodes for --marginal")
     p.add_argument("--chunk", type=int, default=50)
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--seed", type=int, default=2024)
@@ -173,15 +182,21 @@ def main(argv=None):
             participant=jnp.asarray(ds_idx, jnp.int32),
             nparts=args.num_datasets,
             valid=jnp.ones(len(y), bool))
-        logprob, _, dim = M.make_logprob_flagship(
-            mdata, parameterization=args.parameterization)
+        if args.marginal:
+            logprob, _, dim = M.make_logprob_flagship_marginal(
+                mdata, parameterization=args.parameterization,
+                n_quad=args.n_quad)
+        else:
+            logprob, _, dim = M.make_logprob_flagship(
+                mdata, parameterization=args.parameterization)
         min_rt = np.array([np.abs(y[ds_idx == i]).min()
                            if np.any(ds_idx == i) else 1.0
                            for i in range(args.num_datasets)])
         q0 = M.flagship_initial_positions(
             jax.random.fold_in(key, 3), mdata, args.chains,
             jnp.asarray(min_rt, jnp.float32),
-            parameterization=args.parameterization)
+            parameterization=args.parameterization,
+            include_latents=not args.marginal)
         if args.parameterization == "ridge":
             init_var = _flagship_ridge_mass(args, post, dim)
         else:
@@ -250,6 +265,12 @@ def main(argv=None):
             "mean_mcse_z": float(mcse_z.mean()),
             "max_mcse_z": float(mcse_z.max()),
             "bias_z_se": float(mcse_z.mean() / np.sqrt(len(dz))),
+            # empirical SE of the pooled bias across datasets: includes the
+            # per-dataset amortization error itself, which for trial-level
+            # models dominates the sampler MCSE — this is the honest
+            # uncertainty on mean_bias_z when num_datasets is moderate
+            "bias_z_empirical_se": float(
+                dz.std(ddof=1) / np.sqrt(len(dz))) if len(dz) > 1 else None,
             "ci95_jaccard": float((inter / union).mean()),
             "exact_max_rhat": float(np.nanmax(diags[mname]["rhat"])),
             "exact_min_neff": float(np.nanmin(neff)),

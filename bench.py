@@ -2,9 +2,10 @@
 
 Workload matches the reference's training hot loop (``basic_ddm_dc.py:
 85-125`` via SURVEY.md §6): draw priors, draw per-dataset trial counts
-N ~ U{60..300}, run the Euler-Maruyama first-passage walks (dt=.01, cap
-400 steps), emit (rt, choice) channels. We count ACTIVE (non-padding)
-trials only.
+N ~ U{60..300}, run the exact-in-law first-passage walks (exact Gaussian
+transitions + Brownian-bridge crossing test + GIG crossing-time draws,
+ops/ddm_sim.py), emit (rt, choice) channels. We count ACTIVE
+(non-padding) trials only.
 
 Baseline: the north-star target 1e8 trials/sec (BASELINE.md); the
 reference's own envelope is ~2.9e9 trials over a 30 h SLURM allocation
