@@ -23,6 +23,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils import dists
 from .wfpt import diffusion_logpdf
@@ -246,6 +247,47 @@ _FLAG_PRIORS = {
 }
 
 
+def _smooth_normal_lp(x):
+    """Smooth untruncated N(1, .5) pdf standing in for TN(1, .5, [0, hi])
+    in exp coordinates (the unreachable truncations hold <= 3e-5 mass)."""
+    return jnp.sum(-0.5 * ((x - 1.0) / 0.5) ** 2
+                   - math.log(0.5) - 0.5 * math.log(2.0 * math.pi))
+
+
+def _flagship_globals_lp(raw, ridge: bool):
+    """Constrain the 7 flagship global blocks and accumulate their prior +
+    transform-Jacobian log-density. Shared by the latent-boundary posterior
+    (``make_logprob_flagship``) and the marginalized one
+    (``make_logprob_flagship_marginal``)."""
+    if ridge:
+        # raw slots: drift -> drift/dc, mu_alpha -> log(mu_alpha/dc),
+        # std_alpha -> log(std_alpha/dc), dc -> log dc
+        dc = jnp.exp(raw["dc"])
+        th = {"dc": dc,
+              "drift": raw["drift"] * dc,
+              "mu_alpha": jnp.exp(raw["mu_alpha"]) * dc,
+              "std_alpha": jnp.exp(raw["std_alpha"]) * dc}
+        # triangular Jacobian of (drift/dc, log(mu/dc), log(std/dc),
+        # log dc) -> (drift, mu_alpha, std_alpha, dc)
+        lp = jnp.sum(jnp.log(th["mu_alpha"]) + jnp.log(th["std_alpha"])
+                     + 2.0 * raw["dc"])
+        lp = (lp + jnp.sum(_FLAG_PRIORS["drift"].log_prob(th["drift"]))
+              + _smooth_normal_lp(th["mu_alpha"])
+              + _smooth_normal_lp(th["std_alpha"])
+              + _smooth_normal_lp(th["dc"]))
+        sigmoid_names = ("beta", "ter", "sigma1")
+    else:
+        th = {"drift": raw["drift"]}
+        lp = jnp.sum(_FLAG_PRIORS["drift"].log_prob(th["drift"]))
+        sigmoid_names = _FLAG_ORDER[1:]
+    for name in sigmoid_names:
+        lo, hi = _FLAG_BOUNDS[name]
+        x, j = _sigmoid_transform(raw[name], lo, hi)
+        th[name] = x
+        lp = lp + jnp.sum(j) + jnp.sum(_FLAG_PRIORS[name].log_prob(x))
+    return th, lp
+
+
 class FlagshipData(NamedTuple):
     """Per-trial observations of ``single_trial_alpha_not_scaled`` datasets.
 
@@ -316,39 +358,9 @@ def make_logprob_flagship(data: FlagshipData,
         out["u"] = z[7 * P:]
         return out
 
-    def _smooth_normal_lp(x):
-        # stands in for TN(1, .5, [0, hi]); see docstring
-        return jnp.sum(-0.5 * ((x - 1.0) / 0.5) ** 2
-                       - math.log(0.5) - 0.5 * math.log(2.0 * math.pi))
-
     def logprob(z: Array) -> Array:
         raw = unflatten(z)
-        if ridge:
-            # raw slots: drift -> drift/dc, mu_alpha -> log(mu_alpha/dc),
-            # std_alpha -> log(std_alpha/dc), dc -> log dc
-            dc = jnp.exp(raw["dc"])
-            th = {"dc": dc,
-                  "drift": raw["drift"] * dc,
-                  "mu_alpha": jnp.exp(raw["mu_alpha"]) * dc,
-                  "std_alpha": jnp.exp(raw["std_alpha"]) * dc}
-            # triangular Jacobian of (drift/dc, log(mu/dc), log(std/dc),
-            # log dc) -> (drift, mu_alpha, std_alpha, dc)
-            lp = jnp.sum(jnp.log(th["mu_alpha"]) + jnp.log(th["std_alpha"])
-                         + 2.0 * raw["dc"])
-            lp = (lp + jnp.sum(_FLAG_PRIORS["drift"].log_prob(th["drift"]))
-                  + _smooth_normal_lp(th["mu_alpha"])
-                  + _smooth_normal_lp(th["std_alpha"])
-                  + _smooth_normal_lp(th["dc"]))
-            sigmoid_names = ("beta", "ter", "sigma1")
-        else:
-            th = {"drift": raw["drift"]}
-            lp = jnp.sum(_FLAG_PRIORS["drift"].log_prob(th["drift"]))
-            sigmoid_names = _FLAG_ORDER[1:]
-        for name in sigmoid_names:
-            lo, hi = _FLAG_BOUNDS[name]
-            x, j = _sigmoid_transform(raw[name], lo, hi)
-            th[name] = x
-            lp = lp + jnp.sum(j) + jnp.sum(_FLAG_PRIORS[name].log_prob(x))
+        th, lp = _flagship_globals_lp(raw, ridge)
         # latent boundaries via the TN+ quantile transform; uniform prior
         # on u contributes only the sigmoid Jacobian
         uz = raw["u"]
@@ -375,11 +387,124 @@ def make_logprob_flagship(data: FlagshipData,
     return logprob, unflatten, dim
 
 
+def make_logprob_flagship_marginal(data: FlagshipData,
+                                   parameterization: str = "natural",
+                                   n_quad: int = 24):
+    """Exact flagship posterior with the per-trial latent boundary
+    INTEGRATED OUT — dim drops from ``7 P + N_trials`` to ``7 P``.
+
+    The trial-level boundary prior TN+(mu_a, std_a) and the Gaussian
+    covariate channel ``ext_i ~ N(bound_i, sigma1)``
+    (single_trial_alpha_not_scaled.py:107-142) combine ANALYTICALLY by
+    precision-weighting into a new truncated normal:
+
+        TN+(b; mu, sd) * N(ext; b, s1) = Z * TN+(b; m*, s*)
+
+    with ``1/s*^2 = 1/sd^2 + 1/s1^2``, ``m* = s*^2 (mu/sd^2 + ext/s1^2)``
+    and evidence ``Z = N(ext; mu, sqrt(sd^2+s1^2)) Phi(m*/s*) / Phi(mu/sd)``.
+    The only non-analytic factor left per trial is the smooth 1-D integral
+    ``E_{b ~ TN+(m*, s*)}[wfpt(y | b)]``, evaluated by ``n_quad``-node
+    Gauss-Legendre quadrature on the TN+ quantile scale (nodes are exact
+    quantiles of the conditional, so the integrand is the slowly-varying
+    WFPT density alone — 24 nodes give ~1e-6 relative accuracy, tested
+    against brute-force Monte Carlo in tests/test_mcmc.py).
+
+    Against the latent-space posterior this is the classic Rao-Blackwell
+    trade: NUTS runs over 7 P coordinates instead of 7 P + N, each leapfrog
+    costs N * n_quad WFPT evaluations (perfectly vectorized on the TPU),
+    and the dense-mass machinery becomes affordable at any dataset count.
+    Capped/missing trials contribute their evidence term Z only, exactly as
+    the latent version excludes their Wiener factor but keeps the covariate
+    channel.
+
+    Returns (logprob_fn, unflatten, dim) with the same global layout as
+    ``make_logprob_flagship`` (7 blocks of ``nparts``), so
+    ``flagship_samples_to_dict`` and ``flagship_initial_positions`` (with
+    ``include_latents=False``) work unchanged.
+    """
+    assert parameterization in ("natural", "ridge")
+    ridge = parameterization == "ridge"
+    P = data.nparts
+    dim = 7 * P
+    y_safe = jnp.where(data.valid, data.y, 2.0)
+    u_nodes, log_w = quadrature_rule(n_quad)
+
+    def unflatten(z: Array):
+        return {name: z[i * P:(i + 1) * P]
+                for i, name in enumerate(_FLAG_ORDER)}
+
+    def logprob(z: Array) -> Array:
+        raw = unflatten(z)
+        th, lp = _flagship_globals_lp(raw, ridge)
+        return lp + flagship_marginal_loglik(th, data, u_nodes, log_w,
+                                             y_safe=y_safe)
+
+    return logprob, unflatten, dim
+
+
+def quadrature_rule(n_quad: int):
+    """Static Gauss-Legendre rule mapped to (0, 1): (nodes, log-weights)."""
+    x_gl, w_gl = np.polynomial.legendre.leggauss(int(n_quad))
+    return (jnp.asarray((x_gl + 1.0) / 2.0, jnp.float32),
+            jnp.log(jnp.asarray(w_gl / 2.0, jnp.float32)))
+
+
+def flagship_marginal_trial_ll(y_safe: Array, ext: Array, valid: Array,
+                               mu: Array, sd: Array, s1: Array, ter: Array,
+                               beta: Array, drift: Array, dc: Array,
+                               u_nodes: Array, log_w: Array) -> Array:
+    """Per-trial flagship log-likelihood with the latent boundary
+    integrated out: ``log Z + 1{valid} log E_{b ~ TN+(m*, s*)}[wfpt]``
+    (see ``make_logprob_flagship_marginal``). All parameter args are
+    PER-TRIAL arrays of a common shape (...,); returns that shape. Shared
+    by the marginal NUTS posterior and the PSIS importance path
+    (mcmc/importance.py), which evaluates it at (draws, trials) grids."""
+    from jax.scipy.special import log_ndtr, logsumexp, ndtr, ndtri
+
+    # precision-weighted combine of the TN+ prior and the ext channel
+    lam = 1.0 / (sd * sd) + 1.0 / (s1 * s1)
+    s_star = 1.0 / jnp.sqrt(lam)
+    m_star = (mu / (sd * sd) + ext / (s1 * s1)) / lam
+    tot = jnp.sqrt(sd * sd + s1 * s1)
+    log_z = (-0.5 * ((ext - mu) / tot) ** 2 - jnp.log(tot)
+             - 0.5 * math.log(2.0 * math.pi)
+             + log_ndtr(m_star / s_star) - log_ndtr(mu / sd))
+    # E_{b ~ TN+(m*, s*)}[wfpt(y | b)]: quantile-space quadrature
+    p_lo = ndtr(-m_star / s_star)
+    pq = jnp.clip(p_lo[..., None] + u_nodes
+                  * (1.0 - p_lo[..., None]), 1e-7, 1.0 - 1e-7)
+    b = jnp.maximum(m_star[..., None] + s_star[..., None] * ndtri(pq),
+                    1e-4)                                # (..., K)
+    ll = diffusion_logpdf(
+        y_safe[..., None], b, ter[..., None], beta[..., None],
+        drift[..., None], dc[..., None])                 # (..., K)
+    log_e = logsumexp(ll + log_w, axis=-1)
+    return log_z + jnp.where(valid, log_e, 0.0)
+
+
+def flagship_marginal_loglik(th: dict, data: FlagshipData, u_nodes: Array,
+                             log_w: Array, y_safe: Optional[Array] = None
+                             ) -> Array:
+    """Total flagship log-likelihood with the per-trial boundary integrated
+    out (see ``make_logprob_flagship_marginal``). ``th`` holds constrained
+    per-dataset arrays of shape (P,)."""
+    idx = data.participant
+    if y_safe is None:
+        y_safe = jnp.where(data.valid, data.y, 2.0)
+    return jnp.sum(flagship_marginal_trial_ll(
+        y_safe, data.ext, data.valid, th["mu_alpha"][idx],
+        th["std_alpha"][idx], th["sigma1"][idx], th["ter"][idx],
+        th["beta"][idx], th["drift"][idx], th["dc"][idx], u_nodes, log_w))
+
+
 def flagship_initial_positions(key: Array, data: FlagshipData,
                                n_chains: int,
                                min_rt: Optional[Array] = None,
-                               parameterization: str = "natural") -> Array:
-    """Overdispersed chain inits; latents start at their prior median."""
+                               parameterization: str = "natural",
+                               include_latents: bool = True) -> Array:
+    """Overdispersed chain inits; latents start at their prior median.
+    ``include_latents=False`` returns the 7P-dim global block only, for
+    the marginalized posterior (``make_logprob_flagship_marginal``)."""
     P = data.nparts
     N = int(data.y.shape[0])
 
@@ -413,9 +538,9 @@ def flagship_initial_positions(key: Array, data: FlagshipData,
                 logit(std_a, *_FLAG_BOUNDS["std_alpha"]),
                 logit(dc, *_FLAG_BOUNDS["dc"]),
                 logit(sigma1, *_FLAG_BOUNDS["sigma1"])]
-    z = jnp.concatenate(cols + [0.1 * jax.random.normal(ks[7],
-                                                        (n_chains, N))],
-                        axis=1)
+    if include_latents:
+        cols = cols + [0.1 * jax.random.normal(ks[7], (n_chains, N))]
+    z = jnp.concatenate(cols, axis=1)
     return z
 
 

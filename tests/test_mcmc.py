@@ -596,3 +596,114 @@ def test_flagship_ridge_same_density():
     expected = 6.0 * np.log(0.9772499)  # 3 params x P=2 x log Phi(2)
     assert np.max(resids) - np.min(resids) < 5e-3, resids
     np.testing.assert_allclose(resids.mean(), expected, atol=5e-3)
+
+
+def test_flagship_marginal_matches_mc():
+    """make_logprob_flagship_marginal (analytic TN+ combine + quantile
+    quadrature) against brute-force Monte-Carlo integration of the latent
+    boundary, per trial. Also checks the gradient stays finite."""
+    from jax.scipy.special import ndtr, ndtri
+
+    rng = np.random.default_rng(11)
+    P = 2
+    th = {"drift": np.array([1.2, -0.8]), "mu_alpha": np.array([1.0, 1.3]),
+          "beta": np.array([0.45, 0.6]), "ter": np.array([0.3, 0.25]),
+          "std_alpha": np.array([0.5, 0.8]), "dc": np.array([1.0, 1.2]),
+          "sigma1": np.array([0.7, 1.5])}
+    part = np.array([0, 0, 0, 1, 1, 1], np.int32)
+    y = np.array([0.8, -0.6, 1.1, 0.5, -0.9, 0.7], np.float32)
+    ext = np.array([1.1, 0.6, 1.5, 1.2, 0.9, 2.0], np.float32)
+    valid = np.array([True] * 5 + [False])
+    data = M.FlagshipData(y=jnp.asarray(y), ext=jnp.asarray(ext),
+                          participant=jnp.asarray(part), nparts=P,
+                          valid=jnp.asarray(valid))
+    logprob, unflatten, dim = M.make_logprob_flagship_marginal(
+        data, n_quad=24)
+    assert dim == 7 * P
+
+    def logit(x, lo, hi):
+        p = np.clip((x - lo) / (hi - lo), 1e-9, 1 - 1e-9)
+        return np.log(p) - np.log1p(-p)
+
+    z = jnp.asarray(np.concatenate([
+        th["drift"], logit(th["mu_alpha"], 0, 10), logit(th["beta"], 0, 1),
+        logit(th["ter"], 0, 1.5), logit(th["std_alpha"], 0, 3),
+        logit(th["dc"], 0, 10), logit(th["sigma1"], 0, 5)]), jnp.float32)
+    lp_marg = float(logprob(z))
+    assert bool(jnp.isfinite(jax.grad(logprob)(z)).all())
+
+    # subtract the globals' prior+Jacobian so only the likelihood remains
+    th_c, lp_prior = M._flagship_globals_lp(unflatten(z), False)
+    lik_marg = lp_marg - float(lp_prior)
+
+    n_mc = 400_000
+    lik_mc = 0.0
+    for i in range(len(y)):
+        p_ = part[i]
+        mu, sd = th["mu_alpha"][p_], th["std_alpha"][p_]
+        s1 = th["sigma1"][p_]
+        u = rng.uniform(size=n_mc)
+        p_lo = float(ndtr(jnp.asarray(-mu / sd, jnp.float32)))
+        b = mu + sd * np.asarray(ndtri(jnp.asarray(
+            np.clip(p_lo + u * (1 - p_lo), 1e-12, 1 - 1e-12))))
+        b = np.maximum(b, 1e-4)
+        log_f = (-0.5 * ((ext[i] - b) / s1) ** 2 - np.log(s1)
+                 - 0.5 * math.log(2 * math.pi))
+        if valid[i]:
+            log_f = log_f + np.asarray(diffusion_logpdf(
+                jnp.float32(y[i]), jnp.asarray(b, jnp.float32),
+                jnp.float32(th["ter"][p_]), jnp.float32(th["beta"][p_]),
+                jnp.float32(th["drift"][p_]), jnp.float32(th["dc"][p_])))
+        m_ = log_f.max()
+        lik_mc += np.log(np.exp(log_f - m_).mean()) + m_
+    np.testing.assert_allclose(lik_marg, lik_mc, atol=8e-3)
+
+
+@pytest.mark.slow
+def test_flagship_marginal_posterior_matches_latent():
+    """The Rao-Blackwellized (marginal) posterior and the latent-boundary
+    posterior are the SAME distribution over the 7 globals; NUTS on both
+    must agree on posterior means within joint MC error."""
+    from bayesflow_nddms_tpu.mcmc import nuts as N_
+    from bayesflow_nddms_tpu.models import zoo
+    from bayesflow_nddms_tpu.models.spec import (sample_n_trials,
+                                                 trial_mask)
+
+    spec = zoo.get_model("single_trial_alpha_not_scaled")
+    key = jax.random.PRNGKey(7)
+    theta = jnp.asarray([[1.0, 1.2, 0.5, 0.3, 0.6, 1.0, 1.0]], jnp.float32)
+    n = jnp.asarray([80])
+    mask = trial_mask(n, spec.n_max)
+    d = np.asarray(spec.simulate(jax.random.fold_in(key, 1), theta,
+                                 spec.n_max, active=mask))
+    m = np.asarray(mask)
+    signed_y, ext_all = d[..., 0], d[..., 1]
+    valid = m & (signed_y != 0)
+    ds_idx, tr_idx = np.nonzero(valid)
+    y = signed_y[ds_idx, tr_idx].astype(np.float32)
+    ext = ext_all[ds_idx, tr_idx].astype(np.float32)
+    data = M.FlagshipData(y=jnp.asarray(y), ext=jnp.asarray(ext),
+                          participant=jnp.asarray(ds_idx, jnp.int32),
+                          nparts=1, valid=jnp.ones(len(y), bool))
+    min_rt = jnp.asarray([np.abs(y).min()], jnp.float32)
+
+    means = {}
+    for marginal in (True, False):
+        if marginal:
+            logprob, _, dim = M.make_logprob_flagship_marginal(data)
+        else:
+            logprob, _, dim = M.make_logprob_flagship(data)
+        q0 = M.flagship_initial_positions(
+            jax.random.fold_in(key, 3), data, 4, min_rt,
+            include_latents=not marginal)
+        res = N_.run_chains_chunked(
+            logprob, q0, jax.random.fold_in(key, 4), n_warmup=500,
+            n_samples=800, max_depth=8, chunk=200,
+            dense_mass=marginal)
+        sd_ = M.flagship_samples_to_dict(np.asarray(res.samples), data)
+        means[marginal] = {k: float(np.mean(v)) for k, v in sd_.items()}
+        sds = {k: float(np.std(v)) for k, v in sd_.items()}
+    for k in means[True]:
+        # agree within 0.35 posterior SDs (two finite-ESS runs)
+        dz = abs(means[True][k] - means[False][k]) / max(sds[k], 1e-6)
+        assert dz < 0.35, (k, means[True][k], means[False][k], dz)
