@@ -92,8 +92,16 @@ def main(argv=None):
         log_n = jnp.log(n.astype(jnp.float32))[:, None]
     B = args.num_datasets
     m_np = np.asarray(mask)
-    signed_y = np.asarray(data[..., 0])
-    valid_np = m_np & (signed_y != 0)
+    if flagship:
+        # channel 0 is already the signed choicert (spec.py flagship obs)
+        signed_y = np.asarray(data[..., 0])
+        valid_np = m_np & (signed_y != 0)
+    else:
+        # dcDDM channels are (rt, choice); sign the RT by the choice and
+        # exclude capped/missing trials (choice 0) — agreement.py:146-148
+        rt, choice = np.asarray(data[..., 0]), np.asarray(data[..., 1])
+        signed_y = rt * choice
+        valid_np = m_np & (choice != 0)
     print(f"{B} datasets, {int(m_np.sum())} trials "
           f"({int(m_np.sum() - valid_np.sum())} capped/missing excluded "
           f"from the Wiener term)", flush=True)
@@ -159,6 +167,9 @@ def main(argv=None):
     ok = khat < 0.7
     report = {}
     for i, pname in enumerate(spec.param_names):
+        if not np.any(ok):
+            report[pname] = {"note": "no dataset with khat < 0.7"}
+            continue
         report[pname] = {
             "mean_abs_shift_z": float(np.abs(shift_z[ok, i]).mean()),
             "max_abs_shift_z": float(np.abs(shift_z[ok, i]).max()),
