@@ -102,6 +102,12 @@ def main(argv=None):
                         "dataset counts affordable")
     p.add_argument("--n-quad", type=int, default=24,
                    help="Gauss-Legendre nodes for --marginal")
+    p.add_argument("--psis", action="store_true",
+                   help="add a PSIS-debiased amortized column: importance-"
+                        "reweight the amortized draws against the exact "
+                        "likelihood (mcmc/importance.py) and report "
+                        "debiased-vs-exact dz next to raw-vs-exact dz, "
+                        "plus per-dataset khat")
     p.add_argument("--chunk", type=int, default=50)
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--seed", type=int, default=2024)
@@ -168,9 +174,24 @@ def main(argv=None):
     if int(state.step) == 0:
         raise SystemExit(f"no checkpoint under {ckpt_dir}; train one "
                          f"with apps.recovery_study first")
-    post = np.asarray(trainer.sample(
-        state, jax.random.fold_in(key, 2), data, mask, log_n, args.draws))
+    post_dev = trainer.sample(
+        state, jax.random.fold_in(key, 2), data, mask, log_n, args.draws)
+    post = np.asarray(post_dev)
     amort_mean, amort_sd = post.mean(axis=1), post.std(axis=1)
+
+    deb_mean = khat = None
+    if args.psis:
+        from ..mcmc import importance as I_
+        from .importance_check import amortized_logw
+        logw = amortized_logw(
+            spec, trainer, state, post_dev, data, mask, log_n,
+            flagship=(args.model == "single_trial_alpha_not_scaled"),
+            n_quad=args.n_quad)
+        smoothed, khat = I_.psis_smooth(logw)
+        deb_mean, _ = I_.weighted_moments(post.astype(np.float64), smoothed)
+        print(f"PSIS: khat median {np.median(khat):.3f}, max "
+              f"{khat.max():.3f}, {int((khat < 0.7).sum())}/"
+              f"{len(khat)} certified", flush=True)
 
     # --- backend B: exact likelihood + NUTS ------------------------------
     ds_idx, tr_idx = np.nonzero(valid)
@@ -277,6 +298,15 @@ def main(argv=None):
             "exact_median_neff": float(np.nanmedian(neff)),
             "pct_neff_ge_200": float((neff >= 200).mean()),
         }
+        if deb_mean is not None:
+            dz_deb = (deb_mean[:, i] - ex_mean) / ex_sd
+            report[pname]["mean_abs_dz_debiased"] = float(
+                np.abs(dz_deb).mean())
+            report[pname]["mean_bias_z_debiased"] = float(dz_deb.mean())
+            report[pname]["bias_z_debiased_empirical_se"] = float(
+                dz_deb.std(ddof=1) / np.sqrt(len(dz_deb))) \
+                if len(dz_deb) > 1 else None
+            npz[f"dz_debiased_{pname}"] = dz_deb
         npz[f"exact_mean_{pname}"] = ex_mean
         npz[f"exact_sd_{pname}"] = ex_sd
         npz[f"neff_{pname}"] = neff
@@ -293,6 +323,11 @@ def main(argv=None):
         "overall_mean_mcse_z": float(np.mean(
             [report[p_]["mean_mcse_z"] for p_ in spec.param_names])),
     }
+    if khat is not None:
+        summary["khat_median"] = float(np.median(khat))
+        summary["khat_max"] = float(np.max(khat))
+        summary["frac_khat_below_0.7"] = float((khat < 0.7).mean())
+        npz["khat"] = khat
     print(json.dumps(summary, indent=2))
     if args.out:
         np.savez(args.out, **npz)
