@@ -259,8 +259,12 @@ def main(argv=None):
 
     # --- comparison -------------------------------------------------------
     report = {}
+    # raw datasets ride along (few tens of KB) so a later run — possibly
+    # on a different backend whose float paths flip borderline trials —
+    # can compare against EXACTLY these observations
     npz = {"theta_true": theta_np, "amort_mean": amort_mean,
-           "amort_sd": amort_sd}
+           "amort_sd": amort_sd, "data": d, "mask": m,
+           "log_n": np.asarray(log_n)}
     for i, pname in enumerate(spec.param_names):
         mname = name_map[pname]
         ex = sdict[mname]                     # (M, S, C)
