@@ -120,7 +120,8 @@ def psis_smooth(logw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
                         out[rows, tail_idx])
     smoothed = out.copy()
     smoothed[rows, tail_idx] = new_tail
-    khat = np.where(good, (M * xi + 5.0 * 0.5) / (M + 10.0), np.inf)
+    # shrink toward 0.5 with 10 pseudo-observations (Vehtari et al. 2021)
+    khat = np.where(good, (M * xi + 10.0 * 0.5) / (M + 10.0), np.inf)
     return smoothed, khat
 
 

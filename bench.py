@@ -15,10 +15,40 @@ Prints one JSON line.
 """
 
 import json
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
+
+def _tunnel_alive(timeout_s: float = 120.0) -> bool:
+    """Probe device init in a subprocess with a hard timeout.
+
+    The tunneled TPU relay can die permanently mid-session; every client
+    afterwards hangs forever inside ``jax.devices()`` (it is not
+    restartable from inside the VM). The probe inherits this process's
+    exact environment, so it exercises the same plugin path the bench
+    would; on failure we fall back to CPU so the bench always emits its
+    JSON line instead of hanging the driver.
+    """
+    try:
+        r = subprocess.run([sys.executable, "-c",
+                            "import jax; jax.devices()"],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+_TUNNEL_OK = _tunnel_alive()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+if not _TUNNEL_OK:
+    # Must be the in-process config call: the axon plugin's sitecustomize
+    # update beats the JAX_PLATFORMS env var (same recipe as
+    # tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
 
 from bayesflow_nddms_tpu.models import zoo
 from bayesflow_nddms_tpu.models.spec import generate_training_batch
@@ -31,6 +61,12 @@ NORTH_STAR = 1e8 / 8
 def main():
     spec = zoo.get_model("basic_ddm_dc")
     batch, n_pad, inner, iters = 8192, 300, 8, 4
+    reps = 5
+    if not _TUNNEL_OK:
+        # fallback sizing: the TPU workload is ~1.2e9 trials; on one CPU
+        # core that is tens of minutes. Keep the measurement honest but
+        # bounded.
+        batch, inner, iters, reps = 512, 2, 2, 3
 
     @jax.jit
     def run(key):
@@ -57,7 +93,7 @@ def main():
     # (steady-state estimate on a time-shared tunnel), with the median
     # reported alongside (VERDICT r2 Next #4).
     rates = []
-    for rep in range(5):
+    for rep in range(reps):
         t0 = time.perf_counter()
         outs = [run(jax.random.fold_in(key, rep * 1000 + i))
                 for i in range(iters)]
@@ -67,13 +103,19 @@ def main():
     rates.sort()
     trials_per_sec = rates[-1]
 
-    print(json.dumps({
+    out = {
         "metric": "simulated_ddm_trials_per_sec",
         "value": round(trials_per_sec, 1),
         "unit": "trials/s/chip",
         "vs_baseline": round(trials_per_sec / NORTH_STAR, 4),
         "value_median": round(rates[len(rates) // 2], 1),
-    }))
+        "platform": jax.devices()[0].platform,
+    }
+    if not _TUNNEL_OK:
+        out["note"] = ("TPU tunnel unreachable; CPU fallback. Last "
+                       "on-chip measurement: 1.25e8 best / 1.17e8 median "
+                       "trials/s/chip (docs/DESIGN.md s11)")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
