@@ -469,13 +469,39 @@ def _sample_chunk(logprob_fn, q: Array, key: Array, eps: Array,
     return q, key, samples, acc, dep
 
 
+def _ckpt_write(path: str, payload: dict) -> None:
+    """Atomic chunk-state write (tmp + rename): a killed process can never
+    leave a truncated checkpoint behind."""
+    import os
+    np.savez(path + ".tmp", **payload)
+    os.replace(path + ".tmp.npz", path)
+
+
+def _ckpt_read(path, fingerprint: np.ndarray):
+    """Load a chunk-state checkpoint if present and produced by an
+    identical run configuration; a mismatch warns and starts fresh."""
+    import os
+    import warnings
+    if path is None or not os.path.exists(path):
+        return None
+    ck = dict(np.load(path))
+    if ck["fingerprint"].shape != fingerprint.shape or \
+            not np.array_equal(ck["fingerprint"], fingerprint):
+        warnings.warn(f"NUTS checkpoint at {path} was produced by a "
+                      f"different run configuration; ignoring it",
+                      stacklevel=3)
+        return None
+    return ck
+
+
 def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
                        n_warmup: int = 500, n_samples: int = 1000,
                        max_depth: int = 8, thin: int = 1,
                        chunk: int = 100, target_accept: float = 0.8,
                        init_step_size: float = 0.05,
                        progress: bool = False, dense_mass: bool = False,
-                       mesh=None, init_inv_mass=None) -> NUTSResult:
+                       mesh=None, init_inv_mass=None,
+                       checkpoint_path: str | None = None) -> NUTSResult:
     """Chunked multi-chain NUTS: identical semantics to run_chains but
     every device dispatch is bounded to ~chunk transitions.
 
@@ -485,6 +511,16 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
     TPU-native replacement for pyjags ``threads=6`` /
     Stan ``n_jobs`` (basic_ddm_dc_pyjags.py:203) at multi-chip scale;
     n_chains must be divisible by the mesh size.
+
+    ``checkpoint_path`` makes a long run restartable across process death
+    (host OOM, watchdog kills, a dying TPU tunnel): after every chunk the
+    full chain state — warmup adaptation carry or (positions, keys, eps,
+    mass, samples so far) — is written atomically to this ``.npz`` path.
+    Re-invoking with identical arguments resumes at the last completed
+    chunk; the result is bit-identical to an uninterrupted run (state is
+    carried exactly, not re-derived). The reference has no counterpart:
+    a killed JAGS/Stan run loses everything
+    (basic_ddm_dc_pyjags.py:199-209 re-runs from scratch).
     """
     if 0 < n_warmup < 20:
         # The windowed schedule switches mass at n/2 and 3n/4; below ~20
@@ -505,6 +541,32 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
         raise ValueError(f"{n_chains} chains not divisible by "
                          f"{mesh.devices.size} devices")
 
+    fingerprint = np.asarray([n_chains, dim, n_warmup, n_samples, thin,
+                              max_depth, int(dense_mass)], np.int64)
+    ck = _ckpt_read(checkpoint_path, fingerprint)
+    warmup_done = 0
+    resumed_sampling = None
+    if ck is not None:
+        if int(ck["phase"]) == 0:
+            carry = _WarmupCarry(**{f: jnp.asarray(ck[f"carry_{f}"])
+                                    for f in _WarmupCarry._fields})
+            warmup_done = int(ck["done"])
+        else:
+            resumed_sampling = ck
+        if progress:
+            phase = "warmup" if resumed_sampling is None else "sampling"
+            print(f"  resumed from {checkpoint_path} at {phase} "
+                  f"{int(ck['done'])}", flush=True)
+
+    def save_warmup(done):
+        if checkpoint_path is None:
+            return
+        payload = {f"carry_{f}": np.asarray(getattr(carry, f))
+                   for f in _WarmupCarry._fields}
+        payload.update(fingerprint=fingerprint, phase=np.int64(0),
+                       done=np.int64(done))
+        _ckpt_write(checkpoint_path, payload)
+
     def make_vw(step):
         f = jax.vmap(
             lambda c, t0: _warmup_chunk(logprob_fn, c, t0, step,
@@ -520,14 +582,15 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
             check_vma=False))
 
     vw = make_vw(min(chunk, n_warmup))
-    done = 0
-    while done < n_warmup:
+    done = warmup_done
+    while done < n_warmup and resumed_sampling is None:
         step = min(chunk, n_warmup - done)
         if step != min(chunk, n_warmup):  # tail chunk recompiles once
             vw = make_vw(step)
         carry = vw(carry, jnp.int32(done))
         jax.block_until_ready(carry.q)
         done += step
+        save_warmup(done)
         if progress:
             print(f"  warmup {done}/{n_warmup}", flush=True)
 
@@ -550,6 +613,16 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
     vs = make_vs(min(chunk, n_samples))
     all_samples, acc_tot, dep_tot = [], 0.0, 0.0
     done = 0
+    if resumed_sampling is not None:
+        q = jnp.asarray(resumed_sampling["q"])
+        keys2 = jnp.asarray(resumed_sampling["keys"])
+        eps = jnp.asarray(resumed_sampling["eps"])
+        inv_mass = jnp.asarray(resumed_sampling["inv_mass"])
+        acc_tot = resumed_sampling["acc"]
+        dep_tot = resumed_sampling["dep"]
+        done = int(resumed_sampling["done"])
+        if done > 0:
+            all_samples.append(resumed_sampling["samples"])
     while done < n_samples:
         step = min(chunk, n_samples - done)
         if step != min(chunk, n_samples):
@@ -560,6 +633,14 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
         acc_tot = acc_tot + acc
         dep_tot = dep_tot + dep
         done += step
+        if checkpoint_path is not None:
+            _ckpt_write(checkpoint_path, dict(
+                fingerprint=fingerprint, phase=np.int64(1),
+                done=np.int64(done), q=np.asarray(q),
+                keys=np.asarray(keys2), eps=np.asarray(eps),
+                inv_mass=np.asarray(inv_mass),
+                acc=np.asarray(acc_tot), dep=np.asarray(dep_tot),
+                samples=np.concatenate(all_samples, axis=1)))
         if progress:
             print(f"  sampling {done}/{n_samples}", flush=True)
 

@@ -298,6 +298,61 @@ def test_nuts_chunked_matches_monolithic():
     np.testing.assert_allclose(sa.var(0), sb.var(0), rtol=0.3)
 
 
+def test_nuts_checkpoint_resume_bit_identical(tmp_path):
+    """A run killed mid-warmup or mid-sampling and resumed from its chunk
+    checkpoint must produce BIT-identical samples to an uninterrupted run
+    (the state is carried exactly, not re-derived), and a checkpoint from
+    a different configuration must be ignored."""
+    from bayesflow_nddms_tpu.mcmc import nuts as N
+    mu = jnp.array([0.5, -1.0])
+
+    def logp(q):
+        return -0.5 * jnp.sum((q - mu) ** 2)
+
+    q0 = jnp.zeros((3, 2))
+    key = jax.random.PRNGKey(5)
+    kw = dict(n_warmup=40, n_samples=30, max_depth=5, chunk=10)
+    ref = N.run_chains_chunked(logp, q0, key, **kw)
+
+    class _Boom(RuntimeError):
+        pass
+
+    for kill_phase, kill_after in (("warmup", 2), ("sampling", 1)):
+        ckpt = str(tmp_path / f"nuts_{kill_phase}.npz")
+        calls = {"n": 0}
+        orig = N._sample_chunk if kill_phase == "sampling" \
+            else N._warmup_chunk
+
+        def bomb(*a, **k):
+            calls["n"] += 1
+            if calls["n"] > kill_after:
+                raise _Boom()
+            return orig(*a, **k)
+
+        name = ("_sample_chunk" if kill_phase == "sampling"
+                else "_warmup_chunk")
+        setattr(N, name, bomb)
+        try:
+            with pytest.raises(_Boom):
+                N.run_chains_chunked(logp, q0, key, checkpoint_path=ckpt,
+                                     **kw)
+        finally:
+            setattr(N, name, orig)
+        res = N.run_chains_chunked(logp, q0, key, checkpoint_path=ckpt,
+                                   **kw)
+        np.testing.assert_array_equal(np.asarray(res.samples),
+                                      np.asarray(ref.samples),
+                                      err_msg=f"kill in {kill_phase}")
+
+    # a checkpoint from different run settings is refused, not mixed in
+    ckpt = str(tmp_path / "nuts_sampling.npz")
+    with pytest.warns(UserWarning, match="different run configuration"):
+        res = N.run_chains_chunked(logp, q0, key, n_warmup=40, n_samples=20,
+                                   max_depth=5, chunk=10,
+                                   checkpoint_path=ckpt)
+    assert np.asarray(res.samples).shape[1] == 20
+
+
 @pytest.mark.slow
 def test_ridge_parameterization_same_posterior():
     """'ridge' coordinates (log(alpha/varsigma), delta/varsigma,
