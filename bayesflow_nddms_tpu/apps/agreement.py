@@ -109,6 +109,10 @@ def main(argv=None):
                         "debiased-vs-exact dz next to raw-vs-exact dz, "
                         "plus per-dataset khat")
     p.add_argument("--chunk", type=int, default=50)
+    p.add_argument("--nuts-checkpoint", default=None,
+                   help=".npz path for chunk-level NUTS state checkpoints: "
+                        "a killed run resumes bit-identically at the last "
+                        "completed chunk (nuts.run_chains_chunked)")
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--seed", type=int, default=2024)
     p.add_argument("--out", default=None, help=".npz output path")
@@ -252,7 +256,8 @@ def main(argv=None):
         logprob, q0, jax.random.fold_in(key, 4), n_warmup=args.warmup,
         n_samples=args.samples, thin=args.thin, max_depth=args.max_depth,
         chunk=args.chunk, progress=True, dense_mass=args.dense_mass,
-        init_inv_mass=jnp.asarray(init_var))
+        init_inv_mass=jnp.asarray(init_var),
+        checkpoint_path=args.nuts_checkpoint)
     sdict = {k: np.asarray(v) for k, v in to_dict(np.asarray(res.samples)
                                                   ).items()}
     diags = diagnostic(sdict)
