@@ -102,6 +102,18 @@ def main(argv=None):
                         "dataset counts affordable")
     p.add_argument("--n-quad", type=int, default=24,
                    help="Gauss-Legendre nodes for --marginal")
+    p.add_argument("--per-dataset", action="store_true",
+                   help="flagship --marginal only: fit each dataset's "
+                        "dim-7 posterior in its OWN NUTS run instead of "
+                        "one joint dim-7P run. The joint posterior "
+                        "factorizes over datasets, but a joint NUTS run "
+                        "shares one step size across all coordinate "
+                        "blocks, and heterogeneous datasets force "
+                        "max-depth trees (measured: Rhat 145 for the "
+                        "joint latent fit at 12 datasets; ~22 s/"
+                        "transition for joint marginal at 6). Per-dataset "
+                        "runs adapt step size and dense mass to each "
+                        "posterior alone")
     p.add_argument("--psis", action="store_true",
                    help="add a PSIS-debiased amortized column: importance-"
                         "reweight the amortized draws against the exact "
@@ -199,7 +211,56 @@ def main(argv=None):
 
     # --- backend B: exact likelihood + NUTS ------------------------------
     ds_idx, tr_idx = np.nonzero(valid)
-    if args.model == "single_trial_alpha_not_scaled":
+    if args.model == "single_trial_alpha_not_scaled" and args.per_dataset:
+        if not args.marginal:
+            raise SystemExit("--per-dataset requires --marginal (the "
+                             "latent formulation's dim varies with each "
+                             "dataset's trial count)")
+        y = signed_y[ds_idx, tr_idx].astype(np.float32)
+        ext = d[..., 1][ds_idx, tr_idx].astype(np.float32)
+        min_rt = np.array([np.abs(y[ds_idx == i]).min()
+                           if np.any(ds_idx == i) else 1.0
+                           for i in range(args.num_datasets)])
+        sdict_parts = []
+        for i in range(args.num_datasets):
+            sel = ds_idx == i
+            n_i = int(sel.sum())
+            data_i = M.FlagshipData(
+                y=jnp.asarray(y[sel]), ext=jnp.asarray(ext[sel]),
+                participant=jnp.zeros(n_i, jnp.int32), nparts=1,
+                valid=jnp.ones(n_i, bool))
+            logprob_i, _, dim_i = M.make_logprob_flagship_marginal(
+                data_i, parameterization=args.parameterization,
+                n_quad=args.n_quad)
+            q0_i = M.flagship_initial_positions(
+                jax.random.fold_in(key, 300 + i), data_i, args.chains,
+                jnp.asarray(min_rt[i:i + 1], jnp.float32),
+                parameterization=args.parameterization,
+                include_latents=False)
+            if args.parameterization == "ridge":
+                iv = _flagship_ridge_mass(1, post[i:i + 1], dim_i)
+            else:
+                iv = _flagship_mass(1, amort_mean[i:i + 1],
+                                    amort_sd[i:i + 1], dim_i)
+            print(f"dataset {i}: NUTS over {dim_i} parameters, "
+                  f"{n_i} trials, {args.chains} chains "
+                  f"(dense_mass={args.dense_mass})", flush=True)
+            ck_i = (f"{args.nuts_checkpoint}.ds{i}.npz"
+                    if args.nuts_checkpoint else None)
+            res_i = N.run_chains_chunked(
+                logprob_i, q0_i, jax.random.fold_in(key, 400 + i),
+                n_warmup=args.warmup, n_samples=args.samples,
+                thin=args.thin, max_depth=args.max_depth, chunk=args.chunk,
+                progress=True, dense_mass=args.dense_mass,
+                init_inv_mass=jnp.asarray(iv), checkpoint_path=ck_i)
+            d_i = M.flagship_samples_to_dict(
+                np.asarray(res_i.samples), data_i,
+                parameterization=args.parameterization)
+            sdict_parts.append({k: np.asarray(v) for k, v in d_i.items()})
+        sdict = {k: np.concatenate([p_[k] for p_ in sdict_parts], axis=0)
+                 for k in sdict_parts[0]}
+        name_map = {n_: n_ for n_ in spec.param_names}
+    elif args.model == "single_trial_alpha_not_scaled":
         y = signed_y[ds_idx, tr_idx].astype(np.float32)
         ext = d[..., 1][ds_idx, tr_idx].astype(np.float32)
         mdata = M.FlagshipData(
@@ -223,9 +284,10 @@ def main(argv=None):
             parameterization=args.parameterization,
             include_latents=not args.marginal)
         if args.parameterization == "ridge":
-            init_var = _flagship_ridge_mass(args, post, dim)
+            init_var = _flagship_ridge_mass(args.num_datasets, post, dim)
         else:
-            init_var = _flagship_mass(args, amort_mean, amort_sd, dim)
+            init_var = _flagship_mass(args.num_datasets, amort_mean,
+                                      amort_sd, dim)
         to_dict = lambda s: M.flagship_samples_to_dict(
             s, mdata, parameterization=args.parameterization)
         name_map = {n_: n_ for n_ in spec.param_names}
@@ -245,21 +307,24 @@ def main(argv=None):
         q0 = M.initial_positions(jax.random.fold_in(key, 3), mdata,
                                  args.chains,
                                  jnp.asarray(min_rt, jnp.float32))
-        init_var = _dcddm_mass(args, amort_mean, amort_sd, dim)
+        init_var = _dcddm_mass(args.num_datasets, amort_mean, amort_sd,
+                               dim)
         to_dict = lambda s: M.samples_to_dict(s, mdata)
         name_map = _NAME_MAP
 
-    print(f"NUTS over {dim} parameters, {args.chains} chains "
-          f"(dense_mass={args.dense_mass}, amortizer-preconditioned "
-          f"mass)...", flush=True)
-    res = N.run_chains_chunked(
-        logprob, q0, jax.random.fold_in(key, 4), n_warmup=args.warmup,
-        n_samples=args.samples, thin=args.thin, max_depth=args.max_depth,
-        chunk=args.chunk, progress=True, dense_mass=args.dense_mass,
-        init_inv_mass=jnp.asarray(init_var),
-        checkpoint_path=args.nuts_checkpoint)
-    sdict = {k: np.asarray(v) for k, v in to_dict(np.asarray(res.samples)
-                                                  ).items()}
+    if not (args.model == "single_trial_alpha_not_scaled"
+            and args.per_dataset):
+        print(f"NUTS over {dim} parameters, {args.chains} chains "
+              f"(dense_mass={args.dense_mass}, amortizer-preconditioned "
+              f"mass)...", flush=True)
+        res = N.run_chains_chunked(
+            logprob, q0, jax.random.fold_in(key, 4), n_warmup=args.warmup,
+            n_samples=args.samples, thin=args.thin,
+            max_depth=args.max_depth, chunk=args.chunk, progress=True,
+            dense_mass=args.dense_mass, init_inv_mass=jnp.asarray(init_var),
+            checkpoint_path=args.nuts_checkpoint)
+        sdict = {k: np.asarray(v)
+                 for k, v in to_dict(np.asarray(res.samples)).items()}
     diags = diagnostic(sdict)
 
     # --- comparison -------------------------------------------------------
@@ -347,7 +412,7 @@ def main(argv=None):
     return summary
 
 
-def _dcddm_mass(args, amort_mean, amort_sd, dim):
+def _dcddm_mass(nparts, amort_mean, amort_sd, dim):
     """AMORTIZED PRECONDITIONING — a capability the reference's JAGS/Stan
     backends cannot have: the amortizer's per-dataset posterior SDs,
     mapped to the sampler's unconstrained space through the sigmoid
@@ -367,12 +432,11 @@ def _dcddm_mass(args, amort_mean, amort_sd, dim):
             s = np.clip((mean_x - lo) / (hi - lo), 1e-3, 1 - 1e-3)
             dz_dx = 1.0 / ((hi - lo) * s * (1.0 - s))
             var_z = (sd_x * dz_dx) ** 2
-        init_var[b * args.num_datasets:(b + 1) * args.num_datasets] = \
-            np.clip(var_z, 1e-6, 1e2)
+        init_var[b * nparts:(b + 1) * nparts] = np.clip(var_z, 1e-6, 1e2)
     return init_var
 
 
-def _flagship_ridge_mass(args, post, dim):
+def _flagship_ridge_mass(nparts, post, dim):
     """Amortized preconditioning in the ridge coordinates: instead of a
     delta-method sigmoid Jacobian, the window-1 inverse mass is the
     EMPIRICAL variance of the amortized joint draws pushed through the
@@ -393,12 +457,12 @@ def _flagship_ridge_mass(args, post, dim):
           logit(sigma1, 0.0, 5.0)]
     init_var = np.ones(dim, np.float32)
     for b, z in enumerate(zs):
-        init_var[b * args.num_datasets:(b + 1) * args.num_datasets] = \
+        init_var[b * nparts:(b + 1) * nparts] = \
             np.clip(z.var(axis=1), 1e-6, 1e2)
     return init_var
 
 
-def _flagship_mass(args, amort_mean, amort_sd, dim):
+def _flagship_mass(nparts, amort_mean, amort_sd, dim):
     """Same amortized preconditioning for the flagship globals; the
     quantile-space latents are O(1) by construction and keep unit mass."""
     init_var = np.ones(dim, np.float32)
@@ -411,8 +475,7 @@ def _flagship_mass(args, amort_mean, amort_sd, dim):
             s = np.clip((mean_x - lo) / (hi - lo), 1e-3, 1 - 1e-3)
             dz_dx = 1.0 / ((hi - lo) * s * (1.0 - s))
             var_z = (sd_x * dz_dx) ** 2
-        init_var[b * args.num_datasets:(b + 1) * args.num_datasets] = \
-            np.clip(var_z, 1e-6, 1e2)
+        init_var[b * nparts:(b + 1) * nparts] = np.clip(var_z, 1e-6, 1e2)
     return init_var
 
 
