@@ -120,6 +120,13 @@ def main(argv=None):
                         "likelihood (mcmc/importance.py) and report "
                         "debiased-vs-exact dz next to raw-vs-exact dz, "
                         "plus per-dataset khat")
+    p.add_argument("--only-datasets", default=None,
+                   help="comma-separated dataset indices: simulate the "
+                        "full --num-datasets batch (so the seed-determined "
+                        "data is unchanged), then fit and compare only "
+                        "these. Typical use: exact-NUTS re-fits of exactly "
+                        "the datasets whose PSIS khat failed certification "
+                        "plus certified controls")
     p.add_argument("--chunk", type=int, default=50)
     p.add_argument("--nuts-checkpoint", default=None,
                    help=".npz path for chunk-level NUTS state checkpoints: "
@@ -208,6 +215,20 @@ def main(argv=None):
         print(f"PSIS: khat median {np.median(khat):.3f}, max "
               f"{khat.max():.3f}, {int((khat < 0.7).sum())}/"
               f"{len(khat)} certified", flush=True)
+
+    if args.only_datasets:
+        sel = [int(s) for s in args.only_datasets.split(",")]
+        theta_np, d, m, valid = theta_np[sel], d[sel], m[sel], valid[sel]
+        rt, choice = rt[sel], choice[sel]
+        if signed_y is not None:
+            signed_y = signed_y[sel]
+        post = post[sel]
+        amort_mean, amort_sd = amort_mean[sel], amort_sd[sel]
+        log_n = jnp.asarray(np.asarray(log_n)[sel])
+        if khat is not None:
+            khat, deb_mean = khat[sel], deb_mean[sel]
+        args.num_datasets = len(sel)
+        print(f"fitting only datasets {sel}", flush=True)
 
     # --- backend B: exact likelihood + NUTS ------------------------------
     ds_idx, tr_idx = np.nonzero(valid)
