@@ -77,6 +77,28 @@ def test_imputation_app_tiny(tmp_path, monkeypatch):
     assert "drift" in metrics and "mu_alpha" in metrics
 
 
+@pytest.mark.slow
+def test_agreement_per_dataset_subset_tiny(tmp_path, monkeypatch):
+    """--per-dataset + --only-datasets: the flagship marginal agreement
+    fits each selected dataset in its own NUTS run and reports only the
+    selected rows (mechanics test; NUTS budget far below inference
+    quality)."""
+    monkeypatch.chdir("/root/repo")  # needs the trained flagship ckpt
+    from bayesflow_nddms_tpu.apps.agreement import main
+    s = main(["--model", "single_trial_alpha_not_scaled",
+              "--num-datasets", "2", "--only-datasets", "1",
+              "--warmup", "20", "--samples", "6", "--chains", "2",
+              "--max-depth", "3", "--chunk", "20", "--draws", "32",
+              "--marginal", "--per-dataset", "--n-quad", "8",
+              "--parameterization", "ridge", "--seed", "11",
+              "--ckpt-dir", "trained/single_trial_alpha_not_scaled_100k_r3c"])
+    assert s["num_datasets"] == 1
+    assert set(s["per_param"]) == {"drift", "mu_alpha", "beta", "ter",
+                                   "std_alpha", "dc", "sigma1"}
+    for v in s["per_param"].values():
+        assert np.isfinite(v["mean_abs_dz"])
+
+
 def test_misspecification_generators():
     import jax
     from bayesflow_nddms_tpu.apps.misspecification import alternative_truths
