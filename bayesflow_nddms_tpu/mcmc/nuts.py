@@ -521,6 +521,12 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
     carried exactly, not re-derived). The reference has no counterpart:
     a killed JAGS/Stan run loses everything
     (basic_ddm_dc_pyjags.py:199-209 re-runs from scratch).
+
+    The fingerprint covers the run configuration (chains, dim, budget,
+    depth, mass type) but NOT the target: ``logprob_fn`` is an opaque
+    closure over the data, so pointing ``checkpoint_path`` at a
+    checkpoint produced for a different posterior of the same shape
+    silently resumes the wrong run. Use one path per (data, model) pair.
     """
     if 0 < n_warmup < 20:
         # The windowed schedule switches mass at n/2 and 3n/4; below ~20
