@@ -16,7 +16,8 @@ from typing import Dict
 
 import numpy as np
 
-__all__ = ["split_rhat", "ess", "diagnostic", "summary", "flipstanout"]
+__all__ = ["split_rhat", "ess", "diagnostic", "summary", "flipstanout",
+           "stuck_chains"]
 
 
 def _to_matrix(x: np.ndarray) -> np.ndarray:
@@ -135,6 +136,37 @@ def summary(insamples: Dict[str, np.ndarray]) -> Dict[str, dict]:
             "99upper": np.quantile(flat, 0.995, axis=-1),
         }
     return result
+
+
+def stuck_chains(logprob_fn, samples, threshold: float = 20.0,
+                 tail: int = 20):
+    """Identify chains stranded in a low-probability basin.
+
+    A single stuck chain inflates split-Rhat and deflates ESS for EVERY
+    parameter, which is indistinguishable from genuine multimodality in
+    the Rhat number alone. This settles it by evidence: evaluate
+    ``logprob_fn`` at each chain's last ``tail`` states and compare the
+    per-chain mean log-posterior to the best chain. A gap larger than
+    ``threshold`` nats (default 20 — far beyond MC noise of a mean over
+    ``tail`` draws, tiny against real basin separations, which measured
+    ~65 nats when this was built; see results/ROUND3.md) marks the chain
+    stuck rather than exploring a competing mode of comparable mass.
+
+    ``samples``: (chains, n, dim) unconstrained draws (the layout of
+    ``NUTSResult.samples`` and of NUTS chunk checkpoints). Returns
+    ``(stuck_mask (chains,), mean_logpost (chains,))``. Chains flagged
+    here should be dropped AND disclosed; if several chains split into
+    basins of similar log-posterior, that is real multimodality and no
+    chain should be dropped.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    s = np.asarray(samples)[:, -int(tail):, :]       # (C, t, dim)
+    flat = jnp.asarray(s.reshape(-1, s.shape[-1]), jnp.float32)
+    lp = np.asarray(jax.jit(jax.vmap(logprob_fn))(flat), np.float64)
+    lp = lp.reshape(s.shape[0], s.shape[1]).mean(axis=1)
+    return (lp < lp.max() - threshold), lp
 
 
 def flipstanout(insamples: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

@@ -131,3 +131,29 @@ def test_plots_smoke(tmp_path):
     fig.savefig(tmp_path / "bfrec.png")
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_stuck_chains_flags_stranded_basin():
+    """A chain parked in a far low-probability region is flagged; chains
+    exploring the same basin (or two modes of comparable log-probability)
+    are not."""
+    import jax.numpy as jnp
+
+    def logp(q):
+        return -0.5 * jnp.sum(q * q)
+
+    rng = np.random.default_rng(0)
+    good = rng.normal(size=(3, 50, 2))            # near the mode
+    stuck = rng.normal(size=(1, 50, 2)) + 12.0    # ~72 nats below
+    samples = np.concatenate([good, stuck], axis=0)
+    mask, lp = cv.stuck_chains(logp, samples)
+    assert mask.tolist() == [False, False, False, True]
+    assert lp[3] < lp[:3].min() - 20
+    # symmetric modes of equal mass: nobody is "stuck"
+    def bimodal(q):
+        return jnp.logaddexp(-0.5 * jnp.sum((q - 10.0) ** 2),
+                             -0.5 * jnp.sum((q + 10.0) ** 2))
+    m1 = rng.normal(size=(2, 50, 2)) + 10.0
+    m2 = rng.normal(size=(2, 50, 2)) - 10.0
+    mask2, _ = cv.stuck_chains(bimodal, np.concatenate([m1, m2]))
+    assert not mask2.any()
