@@ -146,6 +146,11 @@ def main(argv=None):
                         "inside the narrow ranges "
                         "(basic_ddm_dc_pyjags.py:56-78)")
     args = p.parse_args(argv)
+    if args.per_dataset and args.model != "single_trial_alpha_not_scaled":
+        raise SystemExit("--per-dataset applies to the flagship marginal "
+                         "formulation only (the dcDDM joint posterior is "
+                         "low-dimensional and dense mass already handles "
+                         "it; see --dense-mass)")
     if args.out and os.path.exists(args.out):
         # artifact-existence resume (alpha_not_scaled.py:52,230-256): an
         # already-produced output means this expensive step is done
