@@ -46,6 +46,8 @@ class NUTSResult(NamedTuple):
     step_size: Array
     inv_mass: Array
     mean_depth: Array     # () average terminal doubling depth
+    # replica-exchange only: per-adjacent-temperature-pair swap acceptance
+    swap_accept: Array | None = None
 
 
 def _popcount(n: Array) -> Array:
@@ -655,3 +657,176 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
     return NUTSResult(samples=samples, accept_prob=acc_tot / n_trans,
                       step_size=eps, inv_mass=inv_mass,
                       mean_depth=dep_tot / n_trans)
+
+
+# --------------------------------------------------------------------------
+# Replica exchange (parallel tempering) over the chunked driver.
+#
+# The chunk boundary doubles as the swap boundary: within a chunk every
+# temperature runs plain NUTS on pi^beta; between chunks adjacent
+# temperatures propose state swaps (Metropolis, alternating parity). The
+# cold chain (beta = 1) remains exactly pi-invariant, but hot chains ferry
+# states across log-posterior barriers that defeat single-temperature
+# NUTS — the measured failure mode of the flagship marginal posteriors
+# with slow curved ridges (results/ROUND3.md). beta enters the kernels as
+# a TRACED per-chain scalar, so all temperatures share one compiled
+# program per chunk shape (a per-temperature closure would compile T
+# times — minutes each on CPU).
+
+@functools.partial(jax.jit, static_argnames=(
+    "logprob_fn", "n", "n_warmup_total", "max_depth", "dense_mass"))
+def _warmup_chunk_beta(logprob_fn, beta: Array, carry: _WarmupCarry,
+                       t0_idx: Array, n: int, n_warmup_total: int,
+                       max_depth: int, target_accept: float = 0.8,
+                       dense_mass: bool = False) -> _WarmupCarry:
+    lp = lambda q: beta * logprob_fn(q)
+    grad_fn = jax.grad(lp)
+    dim = carry.q.shape[-1]
+    body = _make_warmup_body(lp, grad_fn, n_warmup_total, max_depth,
+                             target_accept, dense_mass, dim)
+    carry, _ = lax.scan(body, carry,
+                        t0_idx + jnp.arange(n, dtype=jnp.int32))
+    return carry
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "logprob_fn", "n", "max_depth", "thin"))
+def _sample_chunk_beta(logprob_fn, beta: Array, q: Array, key: Array,
+                       eps: Array, inv_mass: Array, n: int, max_depth: int,
+                       thin: int):
+    lp = lambda qq: beta * logprob_fn(qq)
+    grad_fn = jax.grad(lp)
+
+    def outer(carry, _):
+        q, key, acc, dep = carry
+
+        def inner(c, _):
+            q, k, acc, dep = c
+            k, kk = jax.random.split(k)
+            q, a, d = _nuts_transition(lp, grad_fn, q, kk, eps,
+                                       inv_mass, max_depth)
+            return (q, k, acc + a, dep + d), None
+
+        (q, key, acc, dep), _ = lax.scan(inner, (q, key, acc, dep), None,
+                                         length=thin)
+        return (q, key, acc, dep), q
+
+    (q, key, acc, dep), samples = lax.scan(
+        outer, (q, key, jnp.zeros(()), jnp.zeros((), jnp.int32)), None,
+        length=n)
+    return q, key, samples, acc, dep
+
+
+def run_chains_tempered(logprob_fn, q0s: Array, key: Array,
+                        n_temps: int = 4, beta_min: float = 0.2,
+                        n_warmup: int = 500, n_samples: int = 1000,
+                        max_depth: int = 8, thin: int = 1,
+                        chunk: int = 50, target_accept: float = 0.8,
+                        init_step_size: float = 0.05,
+                        progress: bool = False, dense_mass: bool = False,
+                        init_inv_mass=None) -> NUTSResult:
+    """Replica-exchange NUTS: ``n_temps`` tempered copies of every chain
+    (geometric ladder 1 -> ``beta_min``), Metropolis state swaps between
+    adjacent temperatures after every ``chunk`` transitions, alternating
+    pair parity. Each temperature adapts its own step size and mass
+    during warmup. Returns cold-chain (beta = 1) samples in the
+    ``run_chains_chunked`` layout, with per-pair swap acceptance in
+    ``swap_accept`` (shape (n_temps - 1,)); healthy ladders sit around
+    0.2-0.6 — near 0 means the ladder is too steep (raise ``beta_min``
+    or ``n_temps``).
+
+    The reference has nothing comparable (JAGS/Stan single-temperature
+    only); motivation and the measured failure mode this addresses are in
+    results/ROUND3.md (flagship posteriors whose curved ridges defeat
+    single-temperature NUTS at realistic budgets).
+    """
+    n_chains, dim = q0s.shape
+    T, C = int(n_temps), n_chains
+    betas = jnp.asarray(np.geomspace(1.0, beta_min, T), jnp.float32)
+    q0_full = jnp.tile(q0s, (T, 1))                        # (T*C, dim)
+    beta_full = jnp.repeat(betas, C)                       # (T*C,)
+    keys = jax.random.split(key, T * C)
+    carry = _init_warmup_carry(q0_full, keys, init_step_size, dim,
+                               dense_mass, batch_shape=(T * C,),
+                               init_inv_mass=init_inv_mass)
+
+    vw_full = jax.vmap(
+        lambda c, b, t0: _warmup_chunk_beta(
+            logprob_fn, b, c, t0, min(chunk, n_warmup), n_warmup,
+            max_depth, target_accept, dense_mass),
+        in_axes=(0, 0, None))
+    done = 0
+    while done < n_warmup:
+        step = min(chunk, n_warmup - done)
+        if step != min(chunk, n_warmup):
+            vw_full = jax.vmap(
+                lambda c, b, t0: _warmup_chunk_beta(
+                    logprob_fn, b, c, t0, step, n_warmup, max_depth,
+                    target_accept, dense_mass),
+                in_axes=(0, 0, None))
+        carry = vw_full(carry, beta_full, jnp.int32(done))
+        jax.block_until_ready(carry.q)
+        done += step
+        if progress:
+            print(f"  warmup {done}/{n_warmup}", flush=True)
+
+    eps = jnp.exp(carry.log_eps_bar)
+    inv_mass = carry.inv_mass
+    q, keys2 = carry.q, carry.key
+    lp_eval = jax.jit(jax.vmap(logprob_fn))
+
+    def make_vs(step):
+        return jax.vmap(
+            lambda b, q, k, e, m: _sample_chunk_beta(
+                logprob_fn, b, q, k, e, m, step, max_depth, thin),
+            in_axes=(0, 0, 0, 0, 0))
+
+    vs = make_vs(min(chunk, n_samples))
+    cold_samples, acc_tot, dep_tot = [], 0.0, 0.0
+    swap_acc = np.zeros(T - 1)
+    swap_tries = np.zeros(T - 1)
+    rng = np.random.default_rng(np.asarray(
+        jax.random.key_data(key) if hasattr(jax.random, "key_data")
+        else key)[-1])
+    done = 0
+    round_i = 0
+    while done < n_samples:
+        step = min(chunk, n_samples - done)
+        if step != min(chunk, n_samples):
+            vs = make_vs(step)
+        q, keys2, samples, acc, dep = vs(beta_full, q, keys2, eps, inv_mass)
+        jax.block_until_ready(q)
+        cold_samples.append(np.asarray(samples[:C]))
+        acc_tot = acc_tot + np.asarray(acc[:C])
+        dep_tot = dep_tot + np.asarray(dep[:C])
+        done += step
+        if T > 1 and done < n_samples:
+            # swap round at the chunk boundary (host side; states only —
+            # eps/mass stay with their temperature)
+            qh = np.array(q).reshape(T, C, dim)   # copy: jax buffers are read-only
+            L = np.asarray(lp_eval(q), np.float64).reshape(T, C)
+            b = np.asarray(betas, np.float64)
+            for t in range(round_i % 2, T - 1, 2):
+                dlog = (b[t] - b[t + 1]) * (L[t + 1] - L[t])
+                accept = np.log(rng.uniform(size=C)) < dlog
+                if accept.any():
+                    tmp = qh[t, accept].copy()
+                    qh[t, accept] = qh[t + 1, accept]
+                    qh[t + 1, accept] = tmp
+                    Lt = L[t, accept].copy()
+                    L[t, accept] = L[t + 1, accept]
+                    L[t + 1, accept] = Lt
+                swap_acc[t] += accept.mean()
+                swap_tries[t] += 1.0
+            q = jnp.asarray(qh.reshape(T * C, dim), q.dtype)
+            round_i += 1
+        if progress:
+            print(f"  sampling {done}/{n_samples}", flush=True)
+
+    samples = np.concatenate(cold_samples, axis=1)   # (C, n_samples, dim)
+    n_trans = n_samples * thin
+    return NUTSResult(samples=samples, accept_prob=acc_tot / n_trans,
+                      step_size=eps[:C], inv_mass=inv_mass[:C],
+                      mean_depth=dep_tot / n_trans,
+                      swap_accept=np.divide(
+                          swap_acc, np.maximum(swap_tries, 1.0)))
