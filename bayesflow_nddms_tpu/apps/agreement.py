@@ -128,6 +128,17 @@ def main(argv=None):
                         "the datasets whose PSIS khat failed certification "
                         "plus certified controls")
     p.add_argument("--chunk", type=int, default=50)
+    p.add_argument("--tempered", type=int, default=0,
+                   help="replica-exchange NUTS with this many temperatures "
+                        "(nuts.run_chains_tempered; 0/1 = plain NUTS). For "
+                        "the posteriors single-temperature NUTS measurably "
+                        "cannot traverse at budget — the flagship datasets "
+                        "with large true trial-level boundary variability, "
+                        "whose slow curved ridges leave chains in "
+                        "disconnected log-posterior basins (ROUND3.md)")
+    p.add_argument("--beta-min", type=float, default=0.2,
+                   help="coldest-to-hottest inverse-temperature ratio for "
+                        "--tempered (geometric ladder 1 -> beta_min)")
     p.add_argument("--nuts-checkpoint", default=None,
                    help=".npz path for chunk-level NUTS state checkpoints: "
                         "a killed run resumes bit-identically at the last "
@@ -235,6 +246,24 @@ def main(argv=None):
         args.num_datasets = len(sel)
         print(f"fitting only datasets {sel}", flush=True)
 
+    def _run_nuts(logprob_fn, q0s, key_, init_iv, ckpt):
+        """Dispatch one exact fit: plain chunked NUTS, or replica-exchange
+        NUTS when --tempered > 1 (same warmup/sampling budget per
+        temperature; cold-chain samples come back in the same layout)."""
+        common = dict(n_warmup=args.warmup, n_samples=args.samples,
+                      thin=args.thin, max_depth=args.max_depth,
+                      chunk=args.chunk, progress=True,
+                      dense_mass=args.dense_mass, init_inv_mass=init_iv,
+                      checkpoint_path=ckpt)
+        if args.tempered > 1:
+            res = N.run_chains_tempered(
+                logprob_fn, q0s, key_, n_temps=args.tempered,
+                beta_min=args.beta_min, **common)
+            print(f"  swap acceptance per ladder pair: "
+                  f"{np.round(np.asarray(res.swap_accept), 3)}", flush=True)
+            return res
+        return N.run_chains_chunked(logprob_fn, q0s, key_, **common)
+
     # --- backend B: exact likelihood + NUTS ------------------------------
     ds_idx, tr_idx = np.nonzero(valid)
     if args.model == "single_trial_alpha_not_scaled" and args.per_dataset:
@@ -273,12 +302,9 @@ def main(argv=None):
                   f"(dense_mass={args.dense_mass})", flush=True)
             ck_i = (f"{args.nuts_checkpoint}.ds{i}.npz"
                     if args.nuts_checkpoint else None)
-            res_i = N.run_chains_chunked(
-                logprob_i, q0_i, jax.random.fold_in(key, 400 + i),
-                n_warmup=args.warmup, n_samples=args.samples,
-                thin=args.thin, max_depth=args.max_depth, chunk=args.chunk,
-                progress=True, dense_mass=args.dense_mass,
-                init_inv_mass=jnp.asarray(iv), checkpoint_path=ck_i)
+            res_i = _run_nuts(logprob_i, q0_i,
+                              jax.random.fold_in(key, 400 + i),
+                              jnp.asarray(iv), ck_i)
             d_i = M.flagship_samples_to_dict(
                 np.asarray(res_i.samples), data_i,
                 parameterization=args.parameterization)
@@ -343,12 +369,8 @@ def main(argv=None):
         print(f"NUTS over {dim} parameters, {args.chains} chains "
               f"(dense_mass={args.dense_mass}, amortizer-preconditioned "
               f"mass)...", flush=True)
-        res = N.run_chains_chunked(
-            logprob, q0, jax.random.fold_in(key, 4), n_warmup=args.warmup,
-            n_samples=args.samples, thin=args.thin,
-            max_depth=args.max_depth, chunk=args.chunk, progress=True,
-            dense_mass=args.dense_mass, init_inv_mass=jnp.asarray(init_var),
-            checkpoint_path=args.nuts_checkpoint)
+        res = _run_nuts(logprob, q0, jax.random.fold_in(key, 4),
+                        jnp.asarray(init_var), args.nuts_checkpoint)
         sdict = {k: np.asarray(v)
                  for k, v in to_dict(np.asarray(res.samples)).items()}
     diags = diagnostic(sdict)

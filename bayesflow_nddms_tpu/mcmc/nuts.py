@@ -724,7 +724,8 @@ def run_chains_tempered(logprob_fn, q0s: Array, key: Array,
                         chunk: int = 50, target_accept: float = 0.8,
                         init_step_size: float = 0.05,
                         progress: bool = False, dense_mass: bool = False,
-                        init_inv_mass=None) -> NUTSResult:
+                        init_inv_mass=None,
+                        checkpoint_path: str | None = None) -> NUTSResult:
     """Replica-exchange NUTS: ``n_temps`` tempered copies of every chain
     (geometric ladder 1 -> ``beta_min``), Metropolis state swaps between
     adjacent temperatures after every ``chunk`` transitions, alternating
@@ -734,6 +735,11 @@ def run_chains_tempered(logprob_fn, q0s: Array, key: Array,
     ``swap_accept`` (shape (n_temps - 1,)); healthy ladders sit around
     0.2-0.6 — near 0 means the ladder is too steep (raise ``beta_min``
     or ``n_temps``).
+
+    ``checkpoint_path`` has ``run_chains_chunked`` semantics: full replica
+    state written atomically after every chunk, bit-identical resume (swap
+    uniforms are a pure function of (key, swap round), not host RNG
+    state).
 
     The reference has nothing comparable (JAGS/Stan single-temperature
     only); motivation and the measured failure mode this addresses are in
@@ -750,13 +756,40 @@ def run_chains_tempered(logprob_fn, q0s: Array, key: Array,
                                dense_mass, batch_shape=(T * C,),
                                init_inv_mass=init_inv_mass)
 
+    fingerprint = np.asarray([T, C, dim, n_warmup, n_samples, thin,
+                              max_depth, int(dense_mass),
+                              int(round(beta_min * 1e6))], np.int64)
+    ck = _ckpt_read(checkpoint_path, fingerprint)
+    warmup_done = 0
+    resumed_sampling = None
+    if ck is not None:
+        if int(ck["phase"]) == 0:
+            carry = _WarmupCarry(**{f: jnp.asarray(ck[f"carry_{f}"])
+                                    for f in _WarmupCarry._fields})
+            warmup_done = int(ck["done"])
+        else:
+            resumed_sampling = ck
+        if progress:
+            phase = "warmup" if resumed_sampling is None else "sampling"
+            print(f"  resumed from {checkpoint_path} at {phase} "
+                  f"{int(ck['done'])}", flush=True)
+
+    def save_warmup(done):
+        if checkpoint_path is None:
+            return
+        payload = {f"carry_{f}": np.asarray(getattr(carry, f))
+                   for f in _WarmupCarry._fields}
+        payload.update(fingerprint=fingerprint, phase=np.int64(0),
+                       done=np.int64(done))
+        _ckpt_write(checkpoint_path, payload)
+
     vw_full = jax.vmap(
         lambda c, b, t0: _warmup_chunk_beta(
             logprob_fn, b, c, t0, min(chunk, n_warmup), n_warmup,
             max_depth, target_accept, dense_mass),
         in_axes=(0, 0, None))
-    done = 0
-    while done < n_warmup:
+    done = warmup_done
+    while done < n_warmup and resumed_sampling is None:
         step = min(chunk, n_warmup - done)
         if step != min(chunk, n_warmup):
             vw_full = jax.vmap(
@@ -767,6 +800,7 @@ def run_chains_tempered(logprob_fn, q0s: Array, key: Array,
         carry = vw_full(carry, beta_full, jnp.int32(done))
         jax.block_until_ready(carry.q)
         done += step
+        save_warmup(done)
         if progress:
             print(f"  warmup {done}/{n_warmup}", flush=True)
 
@@ -785,11 +819,22 @@ def run_chains_tempered(logprob_fn, q0s: Array, key: Array,
     cold_samples, acc_tot, dep_tot = [], 0.0, 0.0
     swap_acc = np.zeros(T - 1)
     swap_tries = np.zeros(T - 1)
-    rng = np.random.default_rng(np.asarray(
-        jax.random.key_data(key) if hasattr(jax.random, "key_data")
-        else key)[-1])
+    # swap decisions are a pure function of (key, round_i) so an
+    # interrupted run resumes bit-identically
+    swap_key = jax.random.fold_in(key, 0x5AFE)
     done = 0
     round_i = 0
+    if resumed_sampling is not None:
+        rs = resumed_sampling
+        q = jnp.asarray(rs["q"])
+        keys2 = jnp.asarray(rs["keys"])
+        eps = jnp.asarray(rs["eps"])
+        inv_mass = jnp.asarray(rs["inv_mass"])
+        acc_tot, dep_tot = rs["acc"], rs["dep"]
+        swap_acc, swap_tries = rs["swap_acc"], rs["swap_tries"]
+        done, round_i = int(rs["done"]), int(rs["round_i"])
+        if done > 0:
+            cold_samples.append(rs["samples"])
     while done < n_samples:
         step = min(chunk, n_samples - done)
         if step != min(chunk, n_samples):
@@ -806,9 +851,12 @@ def run_chains_tempered(logprob_fn, q0s: Array, key: Array,
             qh = np.array(q).reshape(T, C, dim)   # copy: jax buffers are read-only
             L = np.asarray(lp_eval(q), np.float64).reshape(T, C)
             b = np.asarray(betas, np.float64)
+            u = np.asarray(jax.random.uniform(
+                jax.random.fold_in(swap_key, round_i),
+                (T - 1, C)), np.float64)
             for t in range(round_i % 2, T - 1, 2):
                 dlog = (b[t] - b[t + 1]) * (L[t + 1] - L[t])
-                accept = np.log(rng.uniform(size=C)) < dlog
+                accept = np.log(u[t]) < dlog
                 if accept.any():
                     tmp = qh[t, accept].copy()
                     qh[t, accept] = qh[t + 1, accept]
@@ -820,6 +868,15 @@ def run_chains_tempered(logprob_fn, q0s: Array, key: Array,
                 swap_tries[t] += 1.0
             q = jnp.asarray(qh.reshape(T * C, dim), q.dtype)
             round_i += 1
+        if checkpoint_path is not None:
+            _ckpt_write(checkpoint_path, dict(
+                fingerprint=fingerprint, phase=np.int64(1),
+                done=np.int64(done), round_i=np.int64(round_i),
+                q=np.asarray(q), keys=np.asarray(keys2),
+                eps=np.asarray(eps), inv_mass=np.asarray(inv_mass),
+                acc=np.asarray(acc_tot), dep=np.asarray(dep_tot),
+                swap_acc=swap_acc, swap_tries=swap_tries,
+                samples=np.concatenate(cold_samples, axis=1)))
         if progress:
             print(f"  sampling {done}/{n_samples}", flush=True)
 

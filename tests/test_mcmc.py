@@ -811,3 +811,53 @@ def test_tempered_nuts_crosses_modes_plain_cannot():
     neg = s[s[..., 0] < 0]
     assert abs(pos[..., 0].mean() - mu) < 0.5
     assert abs(neg[..., 0].mean() + mu) < 0.5
+
+
+def test_tempered_nuts_checkpoint_resume_bit_identical(tmp_path):
+    """run_chains_tempered killed mid-warmup or mid-sampling and resumed
+    from its chunk checkpoint reproduces the uninterrupted run bitwise
+    (swap uniforms are keyed by round index, not host RNG state)."""
+    from bayesflow_nddms_tpu.mcmc import nuts as N
+    mu = jnp.array([0.5, -1.0])
+
+    def logp(q):
+        return -0.5 * jnp.sum((q - mu) ** 2)
+
+    q0 = jnp.zeros((2, 2))
+    key = jax.random.PRNGKey(7)
+    kw = dict(n_temps=3, beta_min=0.3, n_warmup=30, n_samples=30,
+              max_depth=5, chunk=10)
+    ref = N.run_chains_tempered(logp, q0, key, **kw)
+    assert np.asarray(ref.samples).shape == (2, 30, 2)
+
+    class _Boom(RuntimeError):
+        pass
+
+    for kill_phase, kill_after in (("warmup", 1), ("sampling", 1)):
+        ckpt = str(tmp_path / f"temper_{kill_phase}.npz")
+        calls = {"n": 0}
+        name = ("_sample_chunk_beta" if kill_phase == "sampling"
+                else "_warmup_chunk_beta")
+        orig = getattr(N, name)
+
+        def bomb(*a, **k):
+            calls["n"] += 1
+            # the chunk fns are vmapped: one python call per chunk
+            if calls["n"] > kill_after:
+                raise _Boom()
+            return orig(*a, **k)
+
+        setattr(N, name, bomb)
+        try:
+            with pytest.raises(_Boom):
+                N.run_chains_tempered(logp, q0, key, checkpoint_path=ckpt,
+                                      **kw)
+        finally:
+            setattr(N, name, orig)
+        res = N.run_chains_tempered(logp, q0, key, checkpoint_path=ckpt,
+                                    **kw)
+        np.testing.assert_array_equal(np.asarray(res.samples),
+                                      np.asarray(ref.samples),
+                                      err_msg=f"kill in {kill_phase}")
+        np.testing.assert_allclose(np.asarray(res.swap_accept),
+                                   np.asarray(ref.swap_accept))
