@@ -139,6 +139,17 @@ def main(argv=None):
     p.add_argument("--beta-min", type=float, default=0.2,
                    help="coldest-to-hottest inverse-temperature ratio for "
                         "--tempered (geometric ladder 1 -> beta_min)")
+    p.add_argument("--neutra", action="store_true",
+                   help="flagship --marginal --per-dataset only: run NUTS "
+                        "in the amortizer flow's base coordinates "
+                        "(mcmc/neutra.py). The exact posterior is pulled "
+                        "back through the flow's transport map (with its "
+                        "exact log-Jacobian), so the ridge geometry that "
+                        "defeats natural/ridge/tempered NUTS becomes "
+                        "~N(0, I) wherever PSIS certifies the flow — the "
+                        "measured fix for the NUTS-hard datasets "
+                        "(ROUND3.md). Identity mass; --parameterization "
+                        "is ignored for the exact side")
     p.add_argument("--nuts-checkpoint", default=None,
                    help=".npz path for chunk-level NUTS state checkpoints: "
                         "a killed run resumes bit-identically at the last "
@@ -162,6 +173,9 @@ def main(argv=None):
                          "formulation only (the dcDDM joint posterior is "
                          "low-dimensional and dense mass already handles "
                          "it; see --dense-mass)")
+    if args.neutra and not args.per_dataset:
+        raise SystemExit("--neutra requires --marginal --per-dataset (the "
+                         "transport map is conditioned on one dataset)")
     if args.out and os.path.exists(args.out):
         # artifact-existence resume (alpha_not_scaled.py:52,230-256): an
         # already-produced output means this expensive step is done
@@ -284,30 +298,47 @@ def main(argv=None):
                 y=jnp.asarray(y[sel]), ext=jnp.asarray(ext[sel]),
                 participant=jnp.zeros(n_i, jnp.int32), nparts=1,
                 valid=jnp.ones(n_i, bool))
-            logprob_i, _, dim_i = M.make_logprob_flagship_marginal(
-                data_i, parameterization=args.parameterization,
-                n_quad=args.n_quad)
-            q0_i = M.flagship_initial_positions(
-                jax.random.fold_in(key, 300 + i), data_i, args.chains,
-                jnp.asarray(min_rt[i:i + 1], jnp.float32),
-                parameterization=args.parameterization,
-                include_latents=False)
-            if args.parameterization == "ridge":
-                iv = _flagship_ridge_mass(1, post[i:i + 1], dim_i)
+            if args.neutra:
+                from ..mcmc import neutra as NT
+                logprob_i, push_i, dim_i = NT.make_logprob_flagship_neutra(
+                    data_i, trainer.amortizer, state.params,
+                    jnp.asarray(d[i]), jnp.asarray(m[i]), log_n[i],
+                    n_quad=args.n_quad)
+                q0_i = NT.neutra_initial_positions(
+                    jax.random.fold_in(key, 300 + i), args.chains, dim_i)
+                # in flow coordinates the target is ~N(0, I) wherever the
+                # flow is good — identity mass IS the preconditioning
+                iv = np.ones(dim_i, np.float32)
             else:
-                iv = _flagship_mass(1, amort_mean[i:i + 1],
-                                    amort_sd[i:i + 1], dim_i)
+                logprob_i, _, dim_i = M.make_logprob_flagship_marginal(
+                    data_i, parameterization=args.parameterization,
+                    n_quad=args.n_quad)
+                q0_i = M.flagship_initial_positions(
+                    jax.random.fold_in(key, 300 + i), data_i, args.chains,
+                    jnp.asarray(min_rt[i:i + 1], jnp.float32),
+                    parameterization=args.parameterization,
+                    include_latents=False)
+                if args.parameterization == "ridge":
+                    iv = _flagship_ridge_mass(1, post[i:i + 1], dim_i)
+                else:
+                    iv = _flagship_mass(1, amort_mean[i:i + 1],
+                                        amort_sd[i:i + 1], dim_i)
             print(f"dataset {i}: NUTS over {dim_i} parameters, "
                   f"{n_i} trials, {args.chains} chains "
-                  f"(dense_mass={args.dense_mass})", flush=True)
+                  f"(dense_mass={args.dense_mass}, "
+                  f"neutra={args.neutra})", flush=True)
             ck_i = (f"{args.nuts_checkpoint}.ds{i}.npz"
                     if args.nuts_checkpoint else None)
             res_i = _run_nuts(logprob_i, q0_i,
                               jax.random.fold_in(key, 400 + i),
                               jnp.asarray(iv), ck_i)
-            d_i = M.flagship_samples_to_dict(
-                np.asarray(res_i.samples), data_i,
-                parameterization=args.parameterization)
+            if args.neutra:
+                d_i = NT.neutra_samples_to_dict(
+                    np.asarray(res_i.samples), push_i, spec.param_names)
+            else:
+                d_i = M.flagship_samples_to_dict(
+                    np.asarray(res_i.samples), data_i,
+                    parameterization=args.parameterization)
             sdict_parts.append({k: np.asarray(v) for k, v in d_i.items()})
         sdict = {k: np.concatenate([p_[k] for p_ in sdict_parts], axis=0)
                  for k in sdict_parts[0]}

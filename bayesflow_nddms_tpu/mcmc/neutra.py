@@ -1,0 +1,101 @@
+"""Flow-preconditioned (NeuTra-style) exact-likelihood NUTS.
+
+The round-3 agreement studies measured the one weakness of the exact
+backend: flagship datasets with large true trial-level boundary
+variability produce long curved ridge posteriors that defeat NUTS in
+natural coordinates, in ridge coordinates, AND under replica exchange at
+reference budget (ROUND3.md; ``agreement_flagship_tempered35_r3.json``:
+healthy 0.27-0.48 swap acceptance, neff still 10-36). On exactly those
+datasets PSIS certifies the amortized flow (khat ~ 0): the flow already
+knows the map that straightens the ridge.
+
+This module runs NUTS in the flow's base coordinates (Hoffman et al.
+2019, "NeuTra-lizing bad geometry"): with ``theta = T(eps)`` the
+amortizer's exact sampling transform (``AmortizedPosterior.push_forward``
+= coupling-flow inverse + logit coordinate map, both with exact
+log-Jacobians), the target becomes
+
+    log p~(eps) = log prior(T(eps)) + log L(data | T(eps))
+                  + log|det dT/deps|,
+
+whose pullback is N(0, I) precisely to the extent PSIS already certified
+the flow. The likelihood is the same Rao-Blackwellized marginal the
+plain exact fits use (``models.flagship_marginal_loglik``), and the prior
+is evaluated in model space (``models._FLAG_PRIORS``) — the identical
+posterior as ``make_logprob_flagship_marginal``, only reparameterized, so
+agreement numbers remain comparable across formulations.
+
+No reference counterpart: the reference's exact backends are JAGS/Stan on
+the dcDDM only (``basic_ddm_dc_pyjags.py``), with no amortized-exact
+coupling of any kind.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import models as M
+
+Array = jax.Array
+
+
+def make_logprob_flagship_neutra(data: M.FlagshipData, amortizer, params,
+                                 adata: Array, amask: Array, alog_n: Array,
+                                 n_quad: int = 24):
+    """NeuTra target for ONE flagship dataset's marginal posterior.
+
+    ``data``: the ``FlagshipData`` (``nparts == 1``) the exact fits use;
+    ``adata (N_pad, C)``, ``amask (N_pad,)``, ``alog_n (1,)``: the SAME
+    dataset as the amortizer sees it. Returns ``(logprob_fn, push_fn,
+    dim)``: ``logprob_fn`` maps base-space ``eps (7,)`` to the exact
+    unnormalized posterior log-density (NUTS-ready, per-chain);
+    ``push_fn`` maps eps draws of any leading shape to model-space theta
+    in spec order (= ``models._FLAG_ORDER``).
+    """
+    assert data.nparts == 1, "one dataset per NeuTra target (--per-dataset)"
+    dim = len(M._FLAG_ORDER)
+    cond, lo, hi = amortizer.apply(
+        params, adata[None], amask[None], alog_n[None],
+        method="coord_context")
+    cond, lo, hi = cond[0], lo[0], hi[0]
+    u_nodes, log_w = M.quadrature_rule(n_quad)
+    y_safe = jnp.where(data.valid, data.y, 2.0)
+    priors = [M._FLAG_PRIORS[name] for name in M._FLAG_ORDER]
+
+    def push(eps: Array) -> Array:
+        theta, _ = amortizer.apply(params, eps, cond, lo, hi,
+                                   method="push_forward")
+        return theta
+
+    def logprob(eps: Array) -> Array:
+        theta, ldj = amortizer.apply(params, eps, cond, lo, hi,
+                                     method="push_forward")
+        lp = ldj
+        for j, dist in enumerate(priors):
+            lp = lp + dist.log_prob(theta[..., j])
+        th = {name: theta[..., j][..., None]
+              for j, name in enumerate(M._FLAG_ORDER)}
+        return lp + M.flagship_marginal_loglik(th, data, u_nodes, log_w,
+                                               y_safe=y_safe)
+
+    return logprob, push, dim
+
+
+def neutra_initial_positions(key: Array, n_chains: int, dim: int,
+                             scale: float = 2.0) -> Array:
+    """Overdispersed chain inits in the flow's base space: N(0, scale^2).
+    If the flow were exact the target would be N(0, 1); starting wider
+    keeps split-Rhat an honest convergence check rather than a tautology.
+    """
+    return scale * jax.random.normal(key, (n_chains, dim))
+
+
+def neutra_samples_to_dict(samples, push, param_names) -> dict:
+    """(chains, S, dim) base-space draws -> {name: (1, S, chains)} model-
+    space arrays, the layout ``flagship_samples_to_dict`` produces for a
+    single dataset (agreement.py's per-dataset path)."""
+    theta = np.asarray(push(jnp.asarray(samples)))     # (C, S, P)
+    return {name: np.transpose(theta[..., j])[None]
+            for j, name in enumerate(param_names)}

@@ -64,12 +64,18 @@ class AffineCoupling(nn.Module):
         return jnp.concatenate([y1, y2], axis=-1), ldj
 
     def inverse(self, y: Array, cond: Array) -> Array:
+        x, _ = self.inverse_with_ldj(y, cond)
+        return x
+
+    def inverse_with_ldj(self, y: Array, cond: Array) -> Tuple[Array, Array]:
+        """Inverse map with log|det d(inverse)/dy| = -(sum of scales)."""
         y1, y2 = y[..., :self.d1], y[..., self.d1:]
         s2, t2 = self._affine(self.net2, y2, cond)
         x1 = (y1 - t2) * jnp.exp(-s2)
         s, t = self._affine(self.net1, x1, cond)
         x2 = (y2 - t) * jnp.exp(-s)
-        return jnp.concatenate([x1, x2], axis=-1)
+        return (jnp.concatenate([x1, x2], axis=-1),
+                -(s2.sum(-1) + s.sum(-1)))
 
 
 class ConditionalFlow(nn.Module):
@@ -99,11 +105,21 @@ class ConditionalFlow(nn.Module):
         return x, ldj
 
     def inverse(self, z: Array, cond: Array) -> Array:
+        x, _ = self.inverse_with_ldj(z, cond)
+        return x
+
+    def inverse_with_ldj(self, z: Array, cond: Array) -> Tuple[Array, Array]:
+        """base z -> data x, with log|det dx/dz| (permutations are
+        volume-preserving). This is the sampling-direction transport map
+        with its exact Jacobian — what flow-preconditioned (NeuTra) MCMC
+        needs (mcmc/neutra.py)."""
+        ldj = jnp.zeros(z.shape[:-1], z.dtype)
         for perm, block in zip(reversed(self._inv_perms),
                                reversed(self.blocks)):
-            z = block.inverse(z, cond)
+            z, d = block.inverse_with_ldj(z, cond)
+            ldj = ldj + d
             z = z[..., perm]
-        return z
+        return z, ldj
 
     def log_prob(self, x: Array, cond: Array) -> Array:
         z, ldj = self.forward(x, cond)
