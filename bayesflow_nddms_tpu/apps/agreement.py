@@ -173,9 +173,12 @@ def main(argv=None):
                          "formulation only (the dcDDM joint posterior is "
                          "low-dimensional and dense mass already handles "
                          "it; see --dense-mass)")
-    if args.neutra and not args.per_dataset:
-        raise SystemExit("--neutra requires --marginal --per-dataset (the "
-                         "transport map is conditioned on one dataset)")
+    if (args.neutra and args.model == "single_trial_alpha_not_scaled"
+            and not args.per_dataset):
+        raise SystemExit("--neutra requires --marginal --per-dataset for "
+                         "the flagship (the transport map is conditioned "
+                         "on one dataset); for basic_ddm_dc it implies a "
+                         "per-dataset refit loop")
     if args.out and os.path.exists(args.out):
         # artifact-existence resume (alpha_not_scaled.py:52,230-256): an
         # already-produced output means this expensive step is done
@@ -374,6 +377,36 @@ def main(argv=None):
         to_dict = lambda s: M.flagship_samples_to_dict(
             s, mdata, parameterization=args.parameterization)
         name_map = {n_: n_ for n_ in spec.param_names}
+    elif args.neutra:
+        # per-dataset NeuTra refits of the dcDDM — the designed exact
+        # fallback for full-prior datasets whose PSIS certification fails
+        # (importance_dcddm_prior_r3: khat up to 32 on the near-degenerate
+        # tail) and whose geometry freezes plain NUTS
+        from ..mcmc import neutra as NT
+        y_all = (choice[ds_idx, tr_idx]
+                 * rt[ds_idx, tr_idx]).astype(np.float32)
+        sdict_parts = []
+        for i in range(args.num_datasets):
+            y_i = jnp.asarray(y_all[ds_idx == i])
+            logprob_i, push_i, dim_i = NT.make_logprob_dcddm_neutra(
+                y_i, trainer.amortizer, state.params,
+                jnp.asarray(d[i]), jnp.asarray(m[i]), log_n[i])
+            q0_i = NT.neutra_initial_positions(
+                jax.random.fold_in(key, 300 + i), args.chains, dim_i)
+            print(f"dataset {i}: NeuTra NUTS over {dim_i} parameters, "
+                  f"{int(y_i.shape[0])} trials, {args.chains} chains",
+                  flush=True)
+            ck_i = (f"{args.nuts_checkpoint}.ds{i}.npz"
+                    if args.nuts_checkpoint else None)
+            res_i = _run_nuts(logprob_i, q0_i,
+                              jax.random.fold_in(key, 400 + i),
+                              jnp.ones(dim_i, jnp.float32), ck_i)
+            d_i = NT.neutra_samples_to_dict(
+                np.asarray(res_i.samples), push_i, spec.param_names)
+            sdict_parts.append({k: np.asarray(v) for k, v in d_i.items()})
+        sdict = {k: np.concatenate([p_[k] for p_ in sdict_parts], axis=0)
+                 for k in sdict_parts[0]}
+        name_map = {n_: n_ for n_ in spec.param_names}
     else:
         y = (choice[ds_idx, tr_idx] * rt[ds_idx, tr_idx]).astype(np.float32)
         mdata = M.DcDDMData(y=jnp.asarray(y),
@@ -395,8 +428,10 @@ def main(argv=None):
         to_dict = lambda s: M.samples_to_dict(s, mdata)
         name_map = _NAME_MAP
 
-    if not (args.model == "single_trial_alpha_not_scaled"
-            and args.per_dataset):
+    per_dataset_fit = ((args.model == "single_trial_alpha_not_scaled"
+                        and args.per_dataset)
+                       or (args.model == "basic_ddm_dc" and args.neutra))
+    if not per_dataset_fit:
         print(f"NUTS over {dim} parameters, {args.chains} chains "
               f"(dense_mass={args.dense_mass}, amortizer-preconditioned "
               f"mass)...", flush=True)

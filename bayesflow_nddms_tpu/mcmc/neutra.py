@@ -83,6 +83,49 @@ def make_logprob_flagship_neutra(data: M.FlagshipData, amortizer, params,
     return logprob, push, dim
 
 
+# spec order (drift, alpha, beta, ter, dc) -> mcmc prior names
+_DCDDM_SPEC_TO_MCMC = ("delta", "alpha", "beta", "ndt", "varsigma")
+
+
+def make_logprob_dcddm_neutra(y: Array, amortizer, params,
+                              adata: Array, amask: Array, alog_n: Array):
+    """NeuTra target for ONE dcDDM dataset's exact posterior.
+
+    ``y (n,)``: signed choice-RT with capped/missing trials excluded —
+    the same data ``models.make_logprob`` sees; ``adata``/``amask``/
+    ``alog_n``: the dataset as the amortizer sees it. Same posterior as
+    ``make_logprob`` restricted to one participant (identical priors,
+    ``basic_ddm_dc_pyjags.py:112-133`` semantics), pulled back through
+    the flow. The intended use is exact re-fits of the near-degenerate
+    full-prior datasets whose posterior geometry freezes plain NUTS and
+    whose PSIS certification correctly fails (khat up to 32,
+    ``results/importance_dcddm_prior_r3.json``)."""
+    dim = 5
+    cond, lo, hi = amortizer.apply(
+        params, adata[None], amask[None], alog_n[None],
+        method="coord_context")
+    cond, lo, hi = cond[0], lo[0], hi[0]
+    priors = [M._PRIORS[name] for name in _DCDDM_SPEC_TO_MCMC]
+
+    def push(eps: Array) -> Array:
+        theta, _ = amortizer.apply(params, eps, cond, lo, hi,
+                                   method="push_forward")
+        return theta
+
+    def logprob(eps: Array) -> Array:
+        theta, ldj = amortizer.apply(params, eps, cond, lo, hi,
+                                     method="push_forward")
+        lp = ldj
+        for j, dist in enumerate(priors):
+            lp = lp + dist.log_prob(theta[..., j])
+        ll = M.diffusion_logpdf(y, theta[..., 1], theta[..., 3],
+                                theta[..., 2], theta[..., 0],
+                                theta[..., 4])
+        return lp + ll.sum()
+
+    return logprob, push, dim
+
+
 def neutra_initial_positions(key: Array, n_chains: int, dim: int,
                              scale: float = 2.0) -> Array:
     """Overdispersed chain inits in the flow's base space: N(0, scale^2).

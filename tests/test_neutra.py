@@ -157,6 +157,69 @@ def test_neutra_density_identity_vs_natural():
     np.testing.assert_allclose(diffs, 0.0, atol=5e-3)
 
 
+def test_dcddm_neutra_density_identity_vs_natural():
+    """Same check for the dcDDM target: the NeuTra pullback and the
+    natural-coordinate make_logprob (restricted to one participant) are
+    the same theta-space posterior."""
+    spec = zoo.get_model("basic_ddm_dc")
+    rng = np.random.default_rng(5)
+    theta0 = jnp.asarray([[1.0, 1.1, 0.5, 0.3, 1.0]], jnp.float32)
+    n_trials = 48
+    mask = jnp.ones((1, n_trials), bool)
+    data = spec.simulate(jax.random.PRNGKey(5), theta0, n_trials,
+                         active=mask)
+    log_n = jnp.full((1, 1), np.log(n_trials), jnp.float32)
+    am = build_amortizer(spec)
+    params = am.init(jax.random.PRNGKey(7), theta0, data, mask, log_n)
+    rt, choice = np.asarray(data[0, :, 0]), np.asarray(data[0, :, 1])
+    valid = choice != 0
+    y = jnp.asarray((rt * choice)[valid], jnp.float32)
+
+    logprob_n, push, dim = NT.make_logprob_dcddm_neutra(
+        y, am, params, data[0], mask[0], log_n[0])
+    assert dim == 5
+    mdata = M.DcDDMData(y=y, participant=jnp.zeros(len(y), jnp.int32),
+                        nparts=1)
+    logprob_m, _, _ = M.make_logprob(mdata)
+
+    # spec order (drift, alpha, beta, ter, dc) -> natural z layout
+    # (alpha, ndt, beta, delta, varsigma)
+    def from_nat(z):
+        names = ("alpha", "ndt", "beta", "delta", "varsigma")
+        out = []
+        for j, name in enumerate(names):
+            if name == "delta":
+                out.append(z[j])
+            else:
+                lo, hi = M._BOUNDS[name]
+                out.append(lo + (hi - lo) * jax.nn.sigmoid(z[j]))
+        return jnp.stack(out)
+
+    def to_nat(th):
+        drift, alpha, beta, ter, dc = th
+        def logit(x, name):
+            lo, hi = M._BOUNDS[name]
+            p = (x - lo) / (hi - lo)
+            return jnp.log(p) - jnp.log1p(-p)
+        return jnp.stack([logit(alpha, "alpha"), logit(ter, "ndt"),
+                          logit(beta, "beta"), drift,
+                          logit(dc, "varsigma")])
+
+    diffs = []
+    for s in range(3):
+        eps = 0.6 * jax.random.normal(jax.random.PRNGKey(200 + s), (5,))
+        th = push(eps)
+        a = (logprob_n(eps)
+             - jnp.linalg.slogdet(jax.jacfwd(push)(eps))[1])
+        z = to_nat(th)
+        b = (logprob_m(z)
+             - jnp.linalg.slogdet(jax.jacfwd(from_nat)(z))[1])
+        diffs.append(float(a - b))
+        g = jax.grad(logprob_n)(eps)
+        assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_allclose(diffs, 0.0, atol=5e-3)
+
+
 @pytest.mark.slow
 def test_neutra_matches_plain_marginal_nuts():
     """On an easy dataset both formulations must agree: same posterior,
