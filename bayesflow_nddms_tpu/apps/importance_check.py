@@ -204,6 +204,14 @@ def main(argv=None):
         "per_param": report,
     }
     print(json.dumps(summary, indent=2))
+    if not ok.all():
+        flagged = np.nonzero(~ok)[0]
+        print(f"routing: khat >= 0.7 on datasets "
+              f"{flagged.tolist()} — their PSIS estimates are unreliable; "
+              f"re-fit exactly with apps.agreement --neutra "
+              f"--only-datasets {','.join(map(str, flagged.tolist()))} "
+              f"(same --seed/--num-datasets reproduces this batch)",
+              flush=True)
     if args.out:
         np.savez(args.out, khat=khat, ess=ess, theta_true=theta_np,
                  raw_mean=raw_mean, raw_sd=raw_sd, deb_mean=deb_mean,
