@@ -10,6 +10,13 @@ covariate variance explained by cognition*
 ``std_alpha^2 / (std_alpha^2 + sigma1^2)`` (:214-219), and the jellyfish /
 2-D / 3-D figure suite (:244-409).
 
+``--psis`` additionally certifies every per-participant fit against the
+EXACT Rao-Blackwellized flagship likelihood (PSIS k-hat,
+``mcmc/importance.py``) and debiases both the parameters and the derived
+proportion — the reference fits real data with no per-fit quality signal
+at all; on data without ground truth this certificate is the only
+evidence the posterior can be trusted.
+
     python -m bayesflow_nddms_tpu.apps.fit_stahl \
         --csv stahl_data/base_data.csv --covariate invert \
         --ckpt-dir checkpoint/single_trial_alpha_not_scaled
@@ -115,6 +122,17 @@ def main(argv=None):
     p.add_argument("--draws", type=int, default=1000)
     p.add_argument("--plot-dir", default="data_plots")
     p.add_argument("--out", default=None, help="npz output path")
+    p.add_argument("--psis", action="store_true",
+                   help="PSIS-certify every per-participant fit against "
+                        "the exact Rao-Blackwellized flagship likelihood "
+                        "and report debiased estimates — real data has no "
+                        "ground truth, so this is the only per-fit quality "
+                        "signal available (the reference has none, "
+                        "fitting_stahl_data.py:196-219)")
+    p.add_argument("--n-quad", type=int, default=24,
+                   help="quadrature nodes for the exact marginal "
+                        "likelihood under --psis")
+    p.add_argument("--json-out", default=None)
     p.add_argument("--no-plots", action="store_true")
     args = p.parse_args(argv)
     if args.out and os.path.exists(args.out):
@@ -155,13 +173,55 @@ def main(argv=None):
     summary = {n: {"mean": float(all_post[..., i].mean()),
                    "sd": float(all_post[..., i].std())}
                for i, n in enumerate(names)}
-    print(json.dumps({"covariate": args.covariate,
-                      "participants": len(parts),
-                      "posterior_summary": summary}, indent=2))
+    out_npz = {"posteriors": all_post, "participants": parts,
+               "param_names": np.array(names)}
+    report = {"covariate": args.covariate, "participants": len(parts),
+              "posterior_summary": summary}
 
+    if args.psis:
+        # Certify each participant's amortized posterior against the exact
+        # likelihood (mcmc/importance.py). The headline real-data quantity
+        # — the proportion of covariate variance explained by cognition
+        # (fitting_stahl_data.py:214-219) — is a per-draw derived quantity,
+        # so the same smoothed weights debias it directly.
+        from ..mcmc import importance as I
+        from .importance_check import amortized_logw
+        logw = amortized_logw(spec, trainer, state, jnp.asarray(post),
+                              data, mask, jnp.asarray(log_n),
+                              flagship=True, n_quad=args.n_quad)
+        smoothed, khat = I.psis_smooth(logw)
+        ess = I.weight_ess(smoothed)
+        deb_mean, deb_sd = I.weighted_moments(
+            all_post.astype(np.float64), smoothed)
+        raw_mean = all_post.mean(axis=1)
+        raw_sd = all_post.std(axis=1)
+        shift_z = (deb_mean - raw_mean) / np.maximum(raw_sd, 1e-12)
+        ok = khat < 0.7
+        pcv_i = names.index("prop_cog_var")
+        report["psis"] = {
+            "khat_per_participant": [round(float(k), 3) for k in khat],
+            "khat_median": float(np.median(khat)),
+            "khat_max": float(np.max(khat)),
+            "frac_certified": float(ok.mean()),
+            "weight_ess_median": float(np.median(ess)),
+            "mean_abs_shift_z_certified": {
+                n: float(np.abs(shift_z[ok, i]).mean()) if ok.any()
+                else None for i, n in enumerate(names)},
+            "prop_cog_var_raw_mean": [round(float(v), 4)
+                                      for v in raw_mean[:, pcv_i]],
+            "prop_cog_var_debiased_mean": [round(float(v), 4)
+                                           for v in deb_mean[:, pcv_i]],
+        }
+        out_npz.update(khat=khat, weight_ess=ess, deb_mean=deb_mean,
+                       deb_sd=deb_sd, logw=logw.astype(np.float32))
+
+    print(json.dumps(report, indent=2))
+    if args.json_out:
+        with open(args.json_out + ".tmp", "w") as f:
+            json.dump(report, f, indent=2)
+        os.replace(args.json_out + ".tmp", args.json_out)
     if args.out:
-        np.savez(args.out, posteriors=all_post, participants=parts,
-                 param_names=np.array(names))
+        np.savez(args.out, **out_npz)
 
     if not args.no_plots:
         pdir = os.path.join(args.plot_dir, FLAGSHIP, args.covariate)

@@ -63,9 +63,21 @@ def test_fit_stahl_app_tiny(tmp_path, monkeypatch):
     csv = _write_fixture_csv(tmp_path / "fix.csv")
     from bayesflow_nddms_tpu.apps.fit_stahl import main
     post, parts = main(["--csv", str(csv), "--draws", "16",
-                        "--ckpt-dir", str(tmp_path / "ck"), "--no-plots"])
+                        "--ckpt-dir", str(tmp_path / "ck"), "--no-plots",
+                        "--psis", "--n-quad", "6",
+                        "--json-out", str(tmp_path / "fit.json"),
+                        "--out", str(tmp_path / "fit.npz")])
     assert post.shape == (5, 16, 8)
     assert np.all((post[..., 7] >= 0) & (post[..., 7] <= 1))  # prop_cog_var
+    import json
+    rep = json.load(open(tmp_path / "fit.json"))
+    # untrained net at 16 draws: khat may legitimately be inf (maximally
+    # uncertified) — require one value per participant, none NaN
+    assert len(rep["psis"]["khat_per_participant"]) == 5
+    assert not np.isnan(rep["psis"]["khat_per_participant"]).any()
+    assert 0.0 <= rep["psis"]["frac_certified"] <= 1.0
+    npz = np.load(tmp_path / "fit.npz")
+    assert npz["logw"].shape == (5, 16) and np.isfinite(npz["logw"]).all()
 
 
 def test_imputation_app_tiny(tmp_path, monkeypatch):
