@@ -243,11 +243,14 @@ def main(argv=None):
             spec, trainer, state, post_dev, data, mask, log_n,
             flagship=(args.model == "single_trial_alpha_not_scaled"),
             n_quad=args.n_quad)
+        logw, n_degen = I_.sanitize_logw(logw)
         smoothed, khat = I_.psis_smooth(logw)
         deb_mean, _ = I_.weighted_moments(post.astype(np.float64), smoothed)
         print(f"PSIS: khat median {np.median(khat):.3f}, max "
               f"{khat.max():.3f}, {int((khat < 0.7).sum())}/"
-              f"{len(khat)} certified", flush=True)
+              f"{len(khat)} certified"
+              + (f", {int(n_degen.sum())} boundary-degenerate draws "
+                 f"zero-weighted" if n_degen.any() else ""), flush=True)
 
     if args.only_datasets:
         sel = [int(s) for s in args.only_datasets.split(",")]

@@ -189,6 +189,7 @@ def main(argv=None):
         logw = amortized_logw(spec, trainer, state, jnp.asarray(post),
                               data, mask, jnp.asarray(log_n),
                               flagship=True, n_quad=args.n_quad)
+        logw, n_degenerate = I.sanitize_logw(logw)
         smoothed, khat = I.psis_smooth(logw)
         ess = I.weight_ess(smoothed)
         deb_mean, deb_sd = I.weighted_moments(
@@ -204,6 +205,11 @@ def main(argv=None):
             "khat_max": float(np.max(khat)),
             "frac_certified": float(ok.mean()),
             "weight_ess_median": float(np.median(ess)),
+            # draws the clamp parked on the prior-support boundary, whose
+            # importance weight is exactly 0 (sanitize_logw)
+            "degenerate_draws_total": int(n_degenerate.sum()),
+            "participants_with_degenerate_draws": int(
+                (n_degenerate > 0).sum()),
             "mean_abs_shift_z_certified": {
                 n: float(np.abs(shift_z[ok, i]).mean()) if ok.any()
                 else None for i, n in enumerate(names)},

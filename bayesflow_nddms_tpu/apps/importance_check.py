@@ -168,6 +168,7 @@ def main(argv=None):
     logw = amortized_logw(spec, trainer, state, draws, data, mask, log_n,
                           flagship=flagship, n_quad=args.n_quad,
                           draw_chunk=args.draw_chunk)
+    logw, n_degenerate = I.sanitize_logw(logw)
     smoothed, khat = I.psis_smooth(logw)
     ess = I.weight_ess(smoothed)
     draws_np = np.asarray(draws, np.float64)
@@ -201,6 +202,7 @@ def main(argv=None):
         "frac_khat_below_0.5": float((khat < 0.5).mean()),
         "frac_khat_below_0.7": float(ok.mean()),
         "weight_ess_median": float(np.median(ess)),
+        "degenerate_draws_total": int(n_degenerate.sum()),
         "per_param": report,
     }
     print(json.dumps(summary, indent=2))

@@ -86,6 +86,27 @@ def _gpd_quantile(p: np.ndarray, xi: np.ndarray,
     return np.where(small, -sigma * np.log1p(-p), q)
 
 
+def sanitize_logw(logw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero out the importance weight of degenerate draws.
+
+    The amortizer's dead-backstop clamp (nets/amortizer.py) can park a
+    draw exactly ON the prior-support boundary — a degenerate corner of
+    parameter space (dc = 0, ter = 0, beta at an edge) where the Wiener
+    density is a 0/0 series (NaN log-likelihood) and the flow's own
+    density can vanish (+inf raw weight). The clamp turns the proposal
+    into an atom there, and the continuous exact posterior puts zero mass
+    on any atom, so the importance weight of such a draw is exactly 0.
+    Replaces NaN/+inf entries with -inf. Returns ``(sanitized logw,
+    per-row replaced count)`` — report the count: a high rate means the
+    flow is off-manifold for that dataset and khat alone understates it.
+    (First seen on the 13-trial Stahl participant 22, whose amortized
+    posterior legitimately reaches the clamp at 2000 draws.)
+    """
+    logw = np.asarray(logw, np.float64)
+    bad = np.isnan(logw) | np.isposinf(logw)
+    return np.where(bad, -np.inf, logw), bad.sum(axis=-1)
+
+
 def psis_smooth(logw: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Pareto-smooth importance log-weights.
 

@@ -77,3 +77,26 @@ def test_smoothing_reduces_weight_variance():
 def test_tiny_sample_returns_inf_khat():
     _, khat = I.psis_smooth(np.zeros((2, 10)))
     assert np.all(np.isinf(khat))
+
+
+def test_sanitize_logw_zero_weights_degenerate_draws():
+    """NaN (0/0 Wiener density at a clamped boundary draw) and +inf
+    (vanishing flow density) entries become -inf = weight exactly 0;
+    finite entries — including legitimately huge ones PSIS must still
+    see — pass through untouched."""
+    rng = np.random.default_rng(1)
+    logw = rng.normal(size=(2, 64))
+    logw[0, 3] = np.nan
+    logw[0, 10] = np.inf
+    logw[1, 5] = 5e11          # finite: a real (terrible) weight, kept
+    clean, n_bad = I.sanitize_logw(logw)
+    assert n_bad.tolist() == [2, 0]
+    assert np.isneginf(clean[0, 3]) and np.isneginf(clean[0, 10])
+    assert clean[1, 5] == 5e11
+    # downstream stays finite where it should: khat/ess computable
+    sm, khat = I.psis_smooth(clean)
+    ess = I.weight_ess(sm)
+    assert np.isfinite(ess).all()
+    assert not np.isnan(khat).any()
+    # row 1's single dominating weight must be flagged, not averaged away
+    assert ess[1] < 2.0
