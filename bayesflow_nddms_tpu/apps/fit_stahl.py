@@ -132,9 +132,25 @@ def main(argv=None):
     p.add_argument("--n-quad", type=int, default=24,
                    help="quadrature nodes for the exact marginal "
                         "likelihood under --psis")
+    p.add_argument("--refit-flagged", type=int, default=0, metavar="K",
+                   help="exactly re-fit the K worst-khat uncertified "
+                        "participants with flow-preconditioned (NeuTra) "
+                        "NUTS — the designed route when PSIS refuses to "
+                        "certify (requires --psis)")
+    p.add_argument("--refit-warmup", type=int, default=400)
+    p.add_argument("--refit-samples", type=int, default=1000)
+    p.add_argument("--refit-chains", type=int, default=8)
+    p.add_argument("--refit-max-depth", type=int, default=8)
+    p.add_argument("--refit-chunk", type=int, default=50)
+    p.add_argument("--nuts-checkpoint", default=None,
+                   help=".npz prefix for chunk-level refit NUTS state "
+                        "checkpoints (resumable)")
     p.add_argument("--json-out", default=None)
     p.add_argument("--no-plots", action="store_true")
     args = p.parse_args(argv)
+    if args.refit_flagged and not args.psis:
+        raise SystemExit("--refit-flagged requires --psis (the khat "
+                         "certification decides who gets re-fit)")
     if args.out and os.path.exists(args.out):
         # artifact-existence resume (alpha_not_scaled.py:52,230-256): an
         # already-produced output means this expensive step is done
@@ -220,6 +236,80 @@ def main(argv=None):
         }
         out_npz.update(khat=khat, weight_ess=ess, deb_mean=deb_mean,
                        deb_sd=deb_sd, logw=logw.astype(np.float32))
+
+        if args.refit_flagged > 0 and (~ok).any():
+            # Exact NeuTra re-fits of the worst uncertified participants:
+            # real data has no truth, so the refit IS the ground truth the
+            # amortized fit is judged against (mcmc/neutra.py; the same
+            # route the simulated-data studies validated end-to-end,
+            # agreement_flagship_refit*_r3). khat = inf sorts first.
+            from ..diagnostics.convergence import diagnostic
+            from ..mcmc import models as MM
+            from ..mcmc import neutra as NT
+            from ..mcmc import nuts as N
+            flagged = np.nonzero(~ok)[0]
+            sel = flagged[np.argsort(-khat[flagged])][:args.refit_flagged]
+            key = jax.random.PRNGKey(17)
+            refits = []
+            for i in map(int, sel):
+                y_i, ext_i = data[i][:, 0], data[i][:, 1]
+                v = mask[i] & (y_i != 0)
+                n_i = int(v.sum())
+                fdata = MM.FlagshipData(
+                    y=jnp.asarray(y_i[v]), ext=jnp.asarray(ext_i[v]),
+                    participant=jnp.zeros(n_i, jnp.int32), nparts=1,
+                    valid=jnp.ones(n_i, bool))
+                logprob_i, push_i, dim_i = NT.make_logprob_flagship_neutra(
+                    fdata, trainer.amortizer, state.params,
+                    jnp.asarray(data[i]), jnp.asarray(mask[i]),
+                    jnp.asarray(log_n[i]), n_quad=args.n_quad)
+                q0 = NT.neutra_initial_positions(
+                    jax.random.fold_in(key, 2 * i), args.refit_chains,
+                    dim_i)
+                pid = str(parts[i])
+                print(f"refit participant {pid} ({n_i} trials, khat "
+                      f"{khat[i]:.2f}): NeuTra NUTS, "
+                      f"{args.refit_chains} chains", flush=True)
+                ck = (f"{args.nuts_checkpoint}.p{pid}.npz"
+                      if args.nuts_checkpoint else None)
+                res = N.run_chains_chunked(
+                    logprob_i, q0, jax.random.fold_in(key, 2 * i + 1),
+                    n_warmup=args.refit_warmup,
+                    n_samples=args.refit_samples, thin=1,
+                    max_depth=args.refit_max_depth, chunk=args.refit_chunk,
+                    progress=True, dense_mass=False,
+                    init_inv_mass=jnp.ones(dim_i, jnp.float32),
+                    checkpoint_path=ck)
+                d_i = NT.neutra_samples_to_dict(
+                    np.asarray(res.samples), push_i, spec.param_names)
+                diags = diagnostic(d_i)
+                ex = np.stack([d_i[n][0] for n in spec.param_names], -1)
+                ex = np.concatenate(
+                    [ex, prop_cognitive_variance(ex)[..., None]], axis=-1)
+                ex_flat = ex.reshape(-1, ex.shape[-1])     # (S*C, 8)
+                ex_mean, ex_sd = ex_flat.mean(0), ex_flat.std(0)
+                row = {
+                    "participant": pid,
+                    "n_trials": n_i,
+                    "khat": round(float(khat[i]), 3),
+                    "rhat_max": round(float(max(
+                        np.nanmax(diags[n]["rhat"])
+                        for n in spec.param_names)), 3),
+                    "neff_min": round(float(min(
+                        np.nanmin(diags[n]["neff"])
+                        for n in spec.param_names)), 1),
+                    "exact_mean": {n: round(float(ex_mean[j]), 4)
+                                   for j, n in enumerate(names)},
+                    "exact_sd": {n: round(float(ex_sd[j]), 4)
+                                 for j, n in enumerate(names)},
+                    "amortized_dz": {
+                        n: round(float((raw_mean[i, j] - ex_mean[j])
+                                       / max(ex_sd[j], 1e-12)), 3)
+                        for j, n in enumerate(names)},
+                }
+                refits.append(row)
+                out_npz[f"refit_samples_p{pid}"] = ex.astype(np.float32)
+            report["psis"]["refits"] = refits
 
     print(json.dumps(report, indent=2))
     if args.json_out:

@@ -77,7 +77,35 @@ def test_fit_stahl_app_tiny(tmp_path, monkeypatch):
     assert not np.isnan(rep["psis"]["khat_per_participant"]).any()
     assert 0.0 <= rep["psis"]["frac_certified"] <= 1.0
     npz = np.load(tmp_path / "fit.npz")
-    assert npz["logw"].shape == (5, 16) and np.isfinite(npz["logw"]).all()
+    assert npz["logw"].shape == (5, 16)
+    assert not np.isnan(npz["logw"]).any()   # sanitized: -inf allowed
+
+
+@pytest.mark.slow
+def test_fit_stahl_refit_flagged_tiny(tmp_path, monkeypatch):
+    """certify -> route -> exact NeuTra refit of the worst participant
+    (mechanics: tiny NUTS budget, untrained flow — khat=inf flags all).
+    Slow: the refit NUTS program is a multi-minute XLA CPU compile."""
+    monkeypatch.chdir(tmp_path)
+    csv = _write_fixture_csv(tmp_path / "fix.csv")
+    from bayesflow_nddms_tpu.apps.fit_stahl import main
+    import json
+    r2 = main(["--csv", str(csv), "--draws", "16",
+               "--ckpt-dir", str(tmp_path / "ck"), "--no-plots",
+               "--psis", "--n-quad", "6", "--refit-flagged", "1",
+               "--refit-warmup", "10", "--refit-samples", "6",
+               "--refit-chains", "2", "--refit-max-depth", "3",
+               "--refit-chunk", "8",
+               "--json-out", str(tmp_path / "fit2.json"),
+               "--out", str(tmp_path / "fit2.npz")])
+    rep2 = json.load(open(tmp_path / "fit2.json"))
+    (row,) = rep2["psis"]["refits"]
+    assert row["n_trials"] > 0
+    assert set(row["exact_mean"]) == set(row["amortized_dz"])
+    assert "prop_cog_var" in row["exact_mean"]
+    npz2 = np.load(tmp_path / "fit2.npz")
+    s = npz2[f"refit_samples_p{row['participant']}"]
+    assert s.shape == (6, 2, 8) and np.isfinite(s).all()
 
 
 def test_imputation_app_tiny(tmp_path, monkeypatch):
