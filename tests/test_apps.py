@@ -64,13 +64,16 @@ def test_fit_stahl_app_tiny(tmp_path, monkeypatch):
     from bayesflow_nddms_tpu.apps.fit_stahl import main
     post, parts = main(["--csv", str(csv), "--draws", "16",
                         "--ckpt-dir", str(tmp_path / "ck"), "--no-plots",
-                        "--psis", "--n-quad", "6",
+                        "--psis", "--n-quad", "6", "--trim-fast", "0.3",
                         "--json-out", str(tmp_path / "fit.json"),
                         "--out", str(tmp_path / "fit.npz")])
     assert post.shape == (5, 16, 8)
     assert np.all((post[..., 7] >= 0) & (post[..., 7] <= 1))  # prop_cog_var
     import json
     rep = json.load(open(tmp_path / "fit.json"))
+    # uniform(0.25, 1.4) fixture RTs: a 0.3 s contaminant cutoff must
+    # trim a few trials and the report must say how many
+    assert 0 < rep["trimmed_fast_trials"] < 40
     # untrained net at 16 draws: khat may legitimately be inf (maximally
     # uncertified) — require one value per participant, none NaN
     assert len(rep["psis"]["khat_per_participant"]) == 5
