@@ -238,7 +238,7 @@ def main(argv=None):
     deb_mean = khat = None
     if args.psis:
         from ..mcmc import importance as I_
-        from .importance_check import amortized_logw
+        from ..inference import amortized_logw
         logw = amortized_logw(
             spec, trainer, state, post_dev, data, mask, log_n,
             flagship=(args.model == "single_trial_alpha_not_scaled"),

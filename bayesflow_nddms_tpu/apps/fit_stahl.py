@@ -220,8 +220,8 @@ def main(argv=None):
         # — the proportion of covariate variance explained by cognition
         # (fitting_stahl_data.py:214-219) — is a per-draw derived quantity,
         # so the same smoothed weights debias it directly.
+        from ..inference import amortized_logw
         from ..mcmc import importance as I
-        from .importance_check import amortized_logw
         logw = amortized_logw(spec, trainer, state, jnp.asarray(post),
                               data, mask, jnp.asarray(log_n),
                               flagship=True, n_quad=args.n_quad)
@@ -263,46 +263,27 @@ def main(argv=None):
             # amortized fit is judged against (mcmc/neutra.py; the same
             # route the simulated-data studies validated end-to-end,
             # agreement_flagship_refit*_r3). khat = inf sorts first.
-            from ..diagnostics.convergence import diagnostic
-            from ..mcmc import models as MM
-            from ..mcmc import neutra as NT
-            from ..mcmc import nuts as N
+            from ..inference import refit_exact
             flagged = np.nonzero(~ok)[0]
             sel = flagged[np.argsort(-khat[flagged])][:args.refit_flagged]
             key = jax.random.PRNGKey(17)
             refits = []
             for i in map(int, sel):
-                y_i, ext_i = data[i][:, 0], data[i][:, 1]
-                v = mask[i] & (y_i != 0)
+                v = mask[i] & (data[i][:, 0] != 0)
                 n_i = int(v.sum())
-                fdata = MM.FlagshipData(
-                    y=jnp.asarray(y_i[v]), ext=jnp.asarray(ext_i[v]),
-                    participant=jnp.zeros(n_i, jnp.int32), nparts=1,
-                    valid=jnp.ones(n_i, bool))
-                logprob_i, push_i, dim_i = NT.make_logprob_flagship_neutra(
-                    fdata, trainer.amortizer, state.params,
-                    jnp.asarray(data[i]), jnp.asarray(mask[i]),
-                    jnp.asarray(log_n[i]), n_quad=args.n_quad)
-                q0 = NT.neutra_initial_positions(
-                    jax.random.fold_in(key, 2 * i), args.refit_chains,
-                    dim_i)
                 pid = str(parts[i])
                 print(f"refit participant {pid} ({n_i} trials, khat "
                       f"{khat[i]:.2f}): NeuTra NUTS, "
                       f"{args.refit_chains} chains", flush=True)
                 ck = (f"{args.nuts_checkpoint}.p{pid}.npz"
                       if args.nuts_checkpoint else None)
-                res = N.run_chains_chunked(
-                    logprob_i, q0, jax.random.fold_in(key, 2 * i + 1),
-                    n_warmup=args.refit_warmup,
-                    n_samples=args.refit_samples, thin=1,
+                d_i, diags = refit_exact(
+                    spec, trainer, state, data[i], mask[i], log_n[i],
+                    jax.random.fold_in(key, i), n_quad=args.n_quad,
+                    warmup=args.refit_warmup, samples=args.refit_samples,
+                    chains=args.refit_chains,
                     max_depth=args.refit_max_depth, chunk=args.refit_chunk,
-                    progress=True, dense_mass=False,
-                    init_inv_mass=jnp.ones(dim_i, jnp.float32),
-                    checkpoint_path=ck)
-                d_i = NT.neutra_samples_to_dict(
-                    np.asarray(res.samples), push_i, spec.param_names)
-                diags = diagnostic(d_i)
+                    checkpoint_path=ck, progress=True)
                 ex = np.stack([d_i[n][0] for n in spec.param_names], -1)
                 ex = np.concatenate(
                     [ex, prop_cognitive_variance(ex)[..., None]], axis=-1)

@@ -38,71 +38,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..inference import amortized_logw
 from ..mcmc import importance as I
-from ..mcmc import models as M
-from ..mcmc.wfpt import diffusion_logpdf
 from ..models import zoo
 from ..models.spec import generate_training_batch, sample_n_trials, \
     trial_mask
 from ..train.trainer import TrainConfig, Trainer
 from .agreement import _GEN_RANGES
-
-
-def amortized_logw(spec, trainer, state, draws, data, mask, log_n, *,
-                   flagship: bool, n_quad: int = 24, draw_chunk: int = 64
-                   ) -> np.ndarray:
-    """Raw importance log-weights of amortized draws against the exact
-    unnormalized posterior: ``log p(theta) + log L(data|theta) -
-    log q(theta|data)``. (B, S) float64. Shared by this app and the
-    agreement app's ``--psis`` column."""
-    logq = jax.jit(jax.vmap(
-        lambda th: trainer.amortizer.apply(state.params, th, data, mask,
-                                           log_n, method="log_prob"),
-        in_axes=1, out_axes=1))(draws)                 # (B, S)
-    m_np = np.asarray(mask)
-    if flagship:
-        # channel 0 is already the signed choicert (spec.py flagship obs)
-        signed_y = np.asarray(data[..., 0])
-        valid_np = m_np & (signed_y != 0)
-    else:
-        # dcDDM channels are (rt, choice); sign the RT by the choice and
-        # exclude capped/missing trials (choice 0) — agreement.py:146-148
-        rt, choice = np.asarray(data[..., 0]), np.asarray(data[..., 1])
-        signed_y = rt * choice
-        valid_np = m_np & (choice != 0)
-    logp_prior = spec.prior_log_prob(draws)            # (B, S)
-    y_safe = jnp.asarray(np.where(valid_np, signed_y, 2.0), jnp.float32)
-    valid = jnp.asarray(valid_np)
-    in_mask = jnp.asarray(m_np)
-    if flagship:
-        ext = data[..., 1]
-        u_nodes, log_w = M.quadrature_rule(n_quad)
-
-        @jax.jit
-        def chunk_ll(th):                              # th: (B, c, 7)
-            def per(name_i):
-                return th[..., name_i][:, :, None]     # (B, c, 1)
-            ll = M.flagship_marginal_trial_ll(
-                y_safe[:, None, :], ext[:, None, :], valid[:, None, :],
-                per(1), per(4), per(6), per(3), per(2), per(0), per(5),
-                u_nodes, log_w)                        # (B, c, N)
-            return jnp.sum(jnp.where(in_mask[:, None, :], ll, 0.0), -1)
-    else:
-        @jax.jit
-        def chunk_ll(th):                              # th: (B, c, 5)
-            ll = diffusion_logpdf(
-                y_safe[:, None, :], th[..., 1][:, :, None],
-                th[..., 3][:, :, None], th[..., 2][:, :, None],
-                th[..., 0][:, :, None], th[..., 4][:, :, None])
-            return jnp.sum(jnp.where(valid[:, None, :], ll, 0.0), -1)
-
-    S = draws.shape[1]
-    parts = []
-    for s0 in range(0, S, draw_chunk):
-        parts.append(np.asarray(chunk_ll(draws[:, s0:s0 + draw_chunk])))
-    loglik = np.concatenate(parts, axis=1)             # (B, S)
-    return (np.asarray(logp_prior, np.float64) + loglik
-            - np.asarray(logq, np.float64))
 
 
 def main(argv=None):

@@ -1,0 +1,271 @@
+"""Certified amortized inference: one call from data to a posterior with
+a per-dataset quality certificate and an exact-refit fallback.
+
+Round 3 established the pipeline piecewise (apps/importance_check.py,
+apps/fit_stahl.py --psis --refit-flagged, apps/agreement.py --neutra):
+
+  1. amortized draws from the trained flow (microseconds per dataset),
+  2. PSIS certification of each dataset's posterior against the EXACT
+     likelihood (khat < 0.7 certifies; Vehtari et al. 2015/2021),
+  3. debiased moments from the smoothed weights wherever certified,
+  4. flow-preconditioned (NeuTra) exact NUTS re-fits for the flagged
+     tail — the route validated end-to-end on simulated data
+     (results/agreement_flagship_refit*_r3) and real data
+     (results/stahl_certified_*_r3).
+
+This module packages that pipeline as a single library entry point,
+``certified_posterior``, for the two model families with exact
+likelihoods (the dcDDM via the WFPT density, ``mcmc/wfpt.py``; the
+flagship via the Rao-Blackwellized marginal, ``mcmc/models.py``).
+The reference framework has no counterpart at any layer: its amortized
+backend (BayesFlow usage, ``basic_ddm_dc.py:163-207``) ships posteriors
+with no per-dataset quality signal, and its exact backends (JAGS/Stan,
+``basic_ddm_dc_pyjags.py``) never talk to the amortized one.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mcmc import importance as I
+from .mcmc import models as M
+from .mcmc import neutra as NT
+from .mcmc import nuts as N
+from .mcmc.wfpt import diffusion_logpdf
+
+FLAGSHIP = "single_trial_alpha_not_scaled"
+DCDDM = "basic_ddm_dc"
+
+
+def amortized_logw(spec, trainer, state, draws, data, mask, log_n, *,
+                   flagship: bool, n_quad: int = 24, draw_chunk: int = 64
+                   ) -> np.ndarray:
+    """Raw importance log-weights of amortized draws against the exact
+    unnormalized posterior: ``log p(theta) + log L(data|theta) -
+    log q(theta|data)``. (B, S) float64. Shared by importance_check,
+    fit_stahl --psis, agreement --psis, and certified_posterior."""
+    logq = jax.jit(jax.vmap(
+        lambda th: trainer.amortizer.apply(state.params, th, data, mask,
+                                           log_n, method="log_prob"),
+        in_axes=1, out_axes=1))(draws)                 # (B, S)
+    m_np = np.asarray(mask)
+    if flagship:
+        # channel 0 is already the signed choicert (spec.py flagship obs)
+        signed_y = np.asarray(data[..., 0])
+        valid_np = m_np & (signed_y != 0)
+    else:
+        # dcDDM channels are (rt, choice); sign the RT by the choice and
+        # exclude capped/missing trials (choice 0) — agreement.py:146-148
+        rt, choice = np.asarray(data[..., 0]), np.asarray(data[..., 1])
+        signed_y = rt * choice
+        valid_np = m_np & (choice != 0)
+    logp_prior = spec.prior_log_prob(draws)            # (B, S)
+    y_safe = jnp.asarray(np.where(valid_np, signed_y, 2.0), jnp.float32)
+    valid = jnp.asarray(valid_np)
+    in_mask = jnp.asarray(m_np)
+    if flagship:
+        ext = data[..., 1]
+        u_nodes, log_w = M.quadrature_rule(n_quad)
+
+        @jax.jit
+        def chunk_ll(th):                              # th: (B, c, 7)
+            def per(name_i):
+                return th[..., name_i][:, :, None]     # (B, c, 1)
+            ll = M.flagship_marginal_trial_ll(
+                y_safe[:, None, :], ext[:, None, :], valid[:, None, :],
+                per(1), per(4), per(6), per(3), per(2), per(0), per(5),
+                u_nodes, log_w)                        # (B, c, N)
+            return jnp.sum(jnp.where(in_mask[:, None, :], ll, 0.0), -1)
+    else:
+        @jax.jit
+        def chunk_ll(th):                              # th: (B, c, 5)
+            ll = diffusion_logpdf(
+                y_safe[:, None, :], th[..., 1][:, :, None],
+                th[..., 3][:, :, None], th[..., 2][:, :, None],
+                th[..., 0][:, :, None], th[..., 4][:, :, None])
+            return jnp.sum(jnp.where(valid[:, None, :], ll, 0.0), -1)
+
+    S = draws.shape[1]
+    parts = []
+    for s0 in range(0, S, draw_chunk):
+        parts.append(np.asarray(chunk_ll(draws[:, s0:s0 + draw_chunk])))
+    loglik = np.concatenate(parts, axis=1)             # (B, S)
+    return (np.asarray(logp_prior, np.float64) + loglik
+            - np.asarray(logq, np.float64))
+
+
+@dataclass
+class ExactRefit:
+    """One flagged dataset's exact NeuTra-NUTS posterior (model space)."""
+    index: int
+    samples: np.ndarray          # (S*C, P) flattened model-space draws
+    mean: np.ndarray             # (P,)
+    sd: np.ndarray               # (P,)
+    rhat_max: float
+    neff_min: float
+
+
+@dataclass
+class CertifiedPosterior:
+    """Amortized draws + per-dataset PSIS certificate + routed estimate.
+
+    ``source[i]`` records which estimator ``mean()[i]`` comes from:
+    ``"refit"`` (exact NUTS, the flagged tail), ``"psis"`` (certified,
+    debiased by the smoothed weights) or ``"amortized"`` (khat >= the
+    threshold and no refit budget reached it — raw flow moments, which
+    the routing study measured to be SAFER than reweighting there:
+    results/agreement_flagship_refit_r3, |dz| <= 0.12 raw vs 4.1
+    PSIS-reweighted on a khat=6 dataset)."""
+    draws: np.ndarray            # (B, S, P) amortized draws
+    khat: np.ndarray             # (B,)
+    weight_ess: np.ndarray       # (B,)
+    logw_smoothed: np.ndarray    # (B, S)
+    n_degenerate: np.ndarray     # (B,) boundary-atom draws zero-weighted
+    raw_mean: np.ndarray         # (B, P)
+    raw_sd: np.ndarray
+    debiased_mean: np.ndarray
+    debiased_sd: np.ndarray
+    khat_threshold: float
+    refits: Dict[int, ExactRefit] = field(default_factory=dict)
+
+    @property
+    def certified(self) -> np.ndarray:
+        return self.khat < self.khat_threshold
+
+    @property
+    def source(self) -> np.ndarray:
+        out = np.where(self.certified, "psis", "amortized").astype(object)
+        for i in self.refits:
+            out[i] = "refit"
+        return out
+
+    def mean(self) -> np.ndarray:
+        out = np.where(self.certified[:, None], self.debiased_mean,
+                       self.raw_mean)
+        for i, r in self.refits.items():
+            out[i] = r.mean
+        return out
+
+    def sd(self) -> np.ndarray:
+        out = np.where(self.certified[:, None], self.debiased_sd,
+                       self.raw_sd)
+        for i, r in self.refits.items():
+            out[i] = r.sd
+        return out
+
+
+def _family(spec) -> bool:
+    """True for the flagship, False for the dcDDM; raises otherwise."""
+    if spec.name == FLAGSHIP:
+        return True
+    if spec.name == DCDDM:
+        return False
+    raise ValueError(
+        f"certified inference needs an exact likelihood; available for "
+        f"{DCDDM!r} (WFPT) and {FLAGSHIP!r} (Rao-Blackwellized marginal), "
+        f"not {spec.name!r}")
+
+
+def refit_exact(spec, trainer, state, data_i, mask_i, log_n_i, key, *,
+                n_quad: int = 24, warmup: int = 400, samples: int = 1000,
+                chains: int = 8, max_depth: int = 8, chunk: int = 50,
+                checkpoint_path: Optional[str] = None,
+                progress: bool = False):
+    """Exact NeuTra-NUTS posterior of ONE dataset, in model space.
+
+    NUTS runs in the amortizer flow's base coordinates with identity
+    mass (mcmc/neutra.py) — the measured fix for the ridge posteriors
+    that defeat natural/ridge/tempered NUTS (ROUND3.md). Returns
+    ``(samples_dict, diagnostics)`` in the layouts ``neutra_samples_to_
+    dict`` / ``diagnostics.convergence.diagnostic`` produce."""
+    from .diagnostics.convergence import diagnostic
+    flagship = _family(spec)
+    y_i = np.asarray(data_i[..., 0 if flagship else 1])
+    m_i = np.asarray(mask_i)
+    if flagship:
+        v = m_i & (y_i != 0)
+        fdata = M.FlagshipData(
+            y=jnp.asarray(np.asarray(data_i[..., 0])[v]),
+            ext=jnp.asarray(np.asarray(data_i[..., 1])[v]),
+            participant=jnp.zeros(int(v.sum()), jnp.int32), nparts=1,
+            valid=jnp.ones(int(v.sum()), bool))
+        logprob, push, dim = NT.make_logprob_flagship_neutra(
+            fdata, trainer.amortizer, state.params,
+            jnp.asarray(data_i), jnp.asarray(mask_i), jnp.asarray(log_n_i),
+            n_quad=n_quad)
+    else:
+        rt, choice = np.asarray(data_i[..., 0]), np.asarray(data_i[..., 1])
+        v = m_i & (choice != 0)
+        logprob, push, dim = NT.make_logprob_dcddm_neutra(
+            jnp.asarray((rt * choice)[v]), trainer.amortizer, state.params,
+            jnp.asarray(data_i), jnp.asarray(mask_i), jnp.asarray(log_n_i))
+    q0 = NT.neutra_initial_positions(jax.random.fold_in(key, 0), chains,
+                                     dim)
+    res = N.run_chains_chunked(
+        logprob, q0, jax.random.fold_in(key, 1), n_warmup=warmup,
+        n_samples=samples, thin=1, max_depth=max_depth, chunk=chunk,
+        progress=progress, dense_mass=False,
+        init_inv_mass=jnp.ones(dim, jnp.float32),
+        checkpoint_path=checkpoint_path)
+    sdict = NT.neutra_samples_to_dict(np.asarray(res.samples), push,
+                                      spec.param_names)
+    return sdict, diagnostic(sdict)
+
+
+def certified_posterior(spec, trainer, state, data, mask, log_n, key, *,
+                        draws: int = 2000, n_quad: int = 24,
+                        draw_chunk: int = 64, khat_threshold: float = 0.7,
+                        refit_flagged: int = 0, refit_opts: dict = None,
+                        nuts_checkpoint: Optional[str] = None,
+                        progress: bool = False) -> CertifiedPosterior:
+    """Fit every dataset amortized, certify each fit with PSIS, debias
+    where certified, and exactly re-fit the ``refit_flagged`` worst-khat
+    failures with NeuTra NUTS. ``data (B, N, C)``, ``mask (B, N)``,
+    ``log_n (B, 1)`` in the amortizer's layout."""
+    flagship = _family(spec)
+    data, mask = jnp.asarray(data), jnp.asarray(mask)
+    log_n = jnp.asarray(log_n)
+    post = trainer.sample(state, jax.random.fold_in(key, 0), data, mask,
+                          log_n, draws)                # (B, S, P)
+    logw = amortized_logw(spec, trainer, state, post, data, mask, log_n,
+                          flagship=flagship, n_quad=n_quad,
+                          draw_chunk=draw_chunk)
+    logw, n_degen = I.sanitize_logw(logw)
+    smoothed, khat = I.psis_smooth(logw)
+    post_np = np.asarray(post, np.float64)
+    deb_mean, deb_sd = I.weighted_moments(post_np, smoothed)
+    cp = CertifiedPosterior(
+        draws=np.asarray(post), khat=khat, weight_ess=I.weight_ess(smoothed),
+        logw_smoothed=smoothed, n_degenerate=n_degen,
+        raw_mean=post_np.mean(1), raw_sd=post_np.std(1),
+        debiased_mean=deb_mean, debiased_sd=deb_sd,
+        khat_threshold=khat_threshold)
+    flagged = np.nonzero(~cp.certified)[0]
+    if refit_flagged > 0 and flagged.size:
+        sel = flagged[np.argsort(-khat[flagged])][:refit_flagged]
+        opts = dict(n_quad=n_quad, progress=progress, **(refit_opts or {}))
+        for i in map(int, sel):
+            if progress:
+                print(f"refit dataset {i} (khat {khat[i]:.2f}): "
+                      f"NeuTra NUTS", flush=True)
+            ck = (f"{nuts_checkpoint}.ds{i}.npz" if nuts_checkpoint
+                  else None)
+            sdict, diags = refit_exact(
+                spec, trainer, state, data[i], mask[i], log_n[i],
+                jax.random.fold_in(key, 1000 + i), checkpoint_path=ck,
+                **opts)
+            ex = np.stack([sdict[n][0] for n in spec.param_names], -1)
+            ex_flat = ex.reshape(-1, ex.shape[-1])     # (S*C, P)
+            cp.refits[i] = ExactRefit(
+                index=i, samples=ex_flat,
+                mean=ex_flat.mean(0), sd=ex_flat.std(0),
+                rhat_max=float(max(np.nanmax(diags[n]["rhat"])
+                                   for n in spec.param_names)),
+                neff_min=float(min(np.nanmin(diags[n]["neff"])
+                                   for n in spec.param_names)))
+    return cp
