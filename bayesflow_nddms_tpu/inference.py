@@ -217,6 +217,65 @@ def refit_exact(spec, trainer, state, data_i, mask_i, log_n_i, key, *,
     return sdict, diagnostic(sdict)
 
 
+def refit_exact_batch(spec, trainer, state, data, mask, log_n, indices,
+                      key, *, n_quad: int = 24, warmup: int = 400,
+                      samples: int = 1000, chains: int = 8,
+                      max_depth: int = 8, chunk: int = 50,
+                      checkpoint_path: Optional[str] = None,
+                      progress: bool = False) -> Dict[int, ExactRefit]:
+    """Exact NeuTra-NUTS re-fits of MANY datasets as ONE compiled program.
+
+    The padded batch already gives every dataset the same static shape,
+    so the per-dataset targets differ only by data — which enters the
+    chunked NUTS driver as a traced per-chain context
+    (``run_chains_chunked(ctx=...)``), not as a new closure. One compile
+    + fused dispatches for the whole flagged set, instead of a
+    multi-minute recompile per dataset; chain rows [d*chains,
+    (d+1)*chains) sample dataset ``indices[d]``'s posterior with their
+    own step size. TPU-first fan-out the serial ``refit_exact`` loop
+    cannot match (measured: each per-dataset compile costs 5-15 min on
+    a tunneled TPU; the batch pays it once).
+    """
+    from .diagnostics.convergence import diagnostic
+    flagship = _family(spec)
+    indices = [int(i) for i in indices]
+    adata = jnp.asarray(data)[jnp.asarray(indices)]
+    amask = jnp.asarray(mask)[jnp.asarray(indices)]
+    alog_n = jnp.asarray(log_n)[jnp.asarray(indices)]
+    if flagship:
+        logprob, push, ctx, dim = NT.make_logprob_flagship_neutra_batched(
+            trainer.amortizer, state.params, adata, amask, alog_n,
+            n_quad=n_quad)
+    else:
+        logprob, push, ctx, dim = NT.make_logprob_dcddm_neutra_batched(
+            trainer.amortizer, state.params, adata, amask, alog_n)
+    D = len(indices)
+    q0 = NT.neutra_initial_positions(jax.random.fold_in(key, 0),
+                                     D * chains, dim)
+    res = N.run_chains_chunked(
+        logprob, q0, jax.random.fold_in(key, 1), n_warmup=warmup,
+        n_samples=samples, thin=1, max_depth=max_depth, chunk=chunk,
+        progress=progress, dense_mass=False,
+        init_inv_mass=jnp.ones(dim, jnp.float32),
+        checkpoint_path=checkpoint_path,
+        ctx=NT.replicate_ctx(ctx, chains))
+    eps_all = np.asarray(res.samples).reshape(D, chains, samples, dim)
+    theta_all = np.asarray(jax.vmap(push)(jnp.asarray(eps_all), ctx))
+    out: Dict[int, ExactRefit] = {}
+    for d, i in enumerate(indices):
+        sdict = {name: np.transpose(theta_all[d][..., j], (1, 0))[None]
+                 for j, name in enumerate(spec.param_names)}
+        diags = diagnostic(sdict)
+        flat = theta_all[d].reshape(-1, dim)
+        out[i] = ExactRefit(
+            index=i, samples=flat, mean=flat.mean(0), sd=flat.std(0),
+            rhat_max=float(max(np.nanmax(diags[n]["rhat"])
+                               for n in spec.param_names)),
+            neff_min=float(min(np.nanmin(diags[n]["neff"])
+                               for n in spec.param_names)))
+    return out
+
+
 def certified_posterior(spec, trainer, state, data, mask, log_n, key, *,
                         draws: int = 2000, n_quad: int = 24,
                         draw_chunk: int = 64, khat_threshold: float = 0.7,
@@ -248,24 +307,13 @@ def certified_posterior(spec, trainer, state, data, mask, log_n, key, *,
     flagged = np.nonzero(~cp.certified)[0]
     if refit_flagged > 0 and flagged.size:
         sel = flagged[np.argsort(-khat[flagged])][:refit_flagged]
-        opts = dict(n_quad=n_quad, progress=progress, **(refit_opts or {}))
-        for i in map(int, sel):
-            if progress:
-                print(f"refit dataset {i} (khat {khat[i]:.2f}): "
-                      f"NeuTra NUTS", flush=True)
-            ck = (f"{nuts_checkpoint}.ds{i}.npz" if nuts_checkpoint
-                  else None)
-            sdict, diags = refit_exact(
-                spec, trainer, state, data[i], mask[i], log_n[i],
-                jax.random.fold_in(key, 1000 + i), checkpoint_path=ck,
-                **opts)
-            ex = np.stack([sdict[n][0] for n in spec.param_names], -1)
-            ex_flat = ex.reshape(-1, ex.shape[-1])     # (S*C, P)
-            cp.refits[i] = ExactRefit(
-                index=i, samples=ex_flat,
-                mean=ex_flat.mean(0), sd=ex_flat.std(0),
-                rhat_max=float(max(np.nanmax(diags[n]["rhat"])
-                                   for n in spec.param_names)),
-                neff_min=float(min(np.nanmin(diags[n]["neff"])
-                                   for n in spec.param_names)))
+        if progress:
+            print(f"refitting datasets {sel.tolist()} (khat "
+                  f"{np.round(khat[sel], 2).tolist()}): batched NeuTra "
+                  f"NUTS, one compiled program", flush=True)
+        cp.refits = refit_exact_batch(
+            spec, trainer, state, data, mask, log_n, sel,
+            jax.random.fold_in(key, 1000), n_quad=n_quad,
+            progress=progress, checkpoint_path=nuts_checkpoint,
+            **(refit_opts or {}))
     return cp

@@ -126,6 +126,102 @@ def make_logprob_dcddm_neutra(y: Array, amortizer, params,
     return logprob, push, dim
 
 
+def make_logprob_flagship_neutra_batched(amortizer, params, adata: Array,
+                                         amask: Array, alog_n: Array,
+                                         n_quad: int = 24):
+    """NeuTra targets for a BATCH of flagship datasets, as one program.
+
+    ``adata (D, N_pad, C)``, ``amask (D, N_pad)``, ``alog_n (D, 1)``: the
+    padded batch exactly as the amortizer sees it (channel 0 = signed
+    choicert, channel 1 = covariate; padding rows have mask False).
+    Returns ``(logprob, push, ctx, dim)`` where ``logprob(eps, ctx_d)``
+    evaluates ONE dataset's exact posterior given its ctx slice and
+    ``ctx`` is a pytree with leading axis D — the per-chain-target form
+    ``nuts.run_chains_chunked(..., ctx=...)`` consumes after
+    ``replicate_ctx``. The batching is what turns N per-dataset
+    recompiles (5-15 min each on a tunneled TPU) into one.
+
+    Capped trials (signed y == 0 under a True mask) keep their observed
+    covariate channel: they contribute the analytic ext term (log Z) but
+    no Wiener term — the same target ``inference.amortized_logw``
+    certifies against. (The serial ``make_logprob_flagship_neutra``
+    path is fed pre-filtered valid-only trials by its callers, which
+    drops capped ext channels; datasets without capped trials — all real
+    Stahl data — give identical posteriors either way.)
+    """
+    dim = len(M._FLAG_ORDER)
+    cond, lo, hi = amortizer.apply(params, adata, amask, alog_n,
+                                   method="coord_context")
+    y = adata[..., 0]
+    valid = amask & (y != 0.0)
+    ctx = {"cond": cond, "lo": lo, "hi": hi,
+           "y": jnp.where(valid, y, 2.0), "ext": adata[..., 1],
+           "valid": valid, "pad": amask}
+    u_nodes, log_w = M.quadrature_rule(n_quad)
+    priors = [M._FLAG_PRIORS[name] for name in M._FLAG_ORDER]
+
+    def push(eps: Array, c) -> Array:
+        theta, _ = amortizer.apply(params, eps, c["cond"], c["lo"],
+                                   c["hi"], method="push_forward")
+        return theta
+
+    def logprob(eps: Array, c) -> Array:
+        theta, ldj = amortizer.apply(params, eps, c["cond"], c["lo"],
+                                     c["hi"], method="push_forward")
+        lp = ldj
+        for j, dist in enumerate(priors):
+            lp = lp + dist.log_prob(theta[..., j])
+        ll = M.flagship_marginal_trial_ll(
+            c["y"], c["ext"], c["valid"], theta[..., 1], theta[..., 4],
+            theta[..., 6], theta[..., 3], theta[..., 2], theta[..., 0],
+            theta[..., 5], u_nodes, log_w)              # (N_pad,)
+        return lp + jnp.sum(jnp.where(c["pad"], ll, 0.0))
+
+    return logprob, push, ctx, dim
+
+
+def make_logprob_dcddm_neutra_batched(amortizer, params, adata: Array,
+                                      amask: Array, alog_n: Array):
+    """Batched NeuTra targets for dcDDM datasets (see the flagship
+    variant above). dcDDM channels are (rt, choice); capped/missing
+    trials (choice 0) and padding rows are excluded from the WFPT sum,
+    matching ``make_logprob_dcddm_neutra`` per dataset."""
+    dim = 5
+    cond, lo, hi = amortizer.apply(params, adata, amask, alog_n,
+                                   method="coord_context")
+    rt, choice = adata[..., 0], adata[..., 1]
+    valid = amask & (choice != 0.0)
+    ctx = {"cond": cond, "lo": lo, "hi": hi,
+           "y": jnp.where(valid, rt * choice, 2.0), "valid": valid}
+    priors = [M._PRIORS[name] for name in _DCDDM_SPEC_TO_MCMC]
+
+    def push(eps: Array, c) -> Array:
+        theta, _ = amortizer.apply(params, eps, c["cond"], c["lo"],
+                                   c["hi"], method="push_forward")
+        return theta
+
+    def logprob(eps: Array, c) -> Array:
+        theta, ldj = amortizer.apply(params, eps, c["cond"], c["lo"],
+                                     c["hi"], method="push_forward")
+        lp = ldj
+        for j, dist in enumerate(priors):
+            lp = lp + dist.log_prob(theta[..., j])
+        ll = M.diffusion_logpdf(c["y"], theta[..., 1], theta[..., 3],
+                                theta[..., 2], theta[..., 0],
+                                theta[..., 4])          # (N_pad,)
+        return lp + jnp.sum(jnp.where(c["valid"], ll, 0.0))
+
+    return logprob, push, ctx, dim
+
+
+def replicate_ctx(ctx, n_chains: int):
+    """(D, ...) ctx leaves -> (D * n_chains, ...): dataset d's target
+    occupies chain rows [d*n_chains, (d+1)*n_chains) — the layout
+    ``run_chains_chunked(ctx=...)`` pairs with ``q0s`` of shape
+    (D * n_chains, dim)."""
+    return jax.tree.map(lambda x: jnp.repeat(x, n_chains, axis=0), ctx)
+
+
 def neutra_initial_positions(key: Array, n_chains: int, dim: int,
                              scale: float = 2.0) -> Array:
     """Overdispersed chain inits in the flow's base space: N(0, scale^2).

@@ -471,6 +471,54 @@ def _sample_chunk(logprob_fn, q: Array, key: Array, eps: Array,
     return q, key, samples, acc, dep
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "logprob_fn", "n", "n_warmup_total", "max_depth", "dense_mass"))
+def _warmup_chunk_ctx(logprob_fn, ctx, carry: _WarmupCarry, t0_idx: Array,
+                      n: int, n_warmup_total: int, max_depth: int,
+                      target_accept: float = 0.8,
+                      init_step_size: float = 0.05,
+                      dense_mass: bool = False) -> _WarmupCarry:
+    """`_warmup_chunk` for per-chain targets: ``logprob_fn(q, ctx)`` with
+    ``ctx`` a TRACED pytree (one chain's slice; the caller vmaps over the
+    chain axis of both carry and ctx). This is what lets a whole batch of
+    per-dataset posteriors — e.g. NeuTra refits of every PSIS-flagged
+    dataset — run as ONE compiled NUTS program instead of a recompile
+    per dataset (ctx enters as data, not as a new closure)."""
+    lp = lambda q: logprob_fn(q, ctx)
+    grad_fn = jax.grad(lp)
+    dim = carry.q.shape[-1]
+    body = _make_warmup_body(lp, grad_fn, n_warmup_total, max_depth,
+                             target_accept, dense_mass, dim)
+    carry, _ = lax.scan(body, carry,
+                        t0_idx + jnp.arange(n, dtype=jnp.int32))
+    return carry
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "logprob_fn", "n", "max_depth", "thin"))
+def _sample_chunk_ctx(logprob_fn, ctx, q: Array, key: Array, eps: Array,
+                      inv_mass: Array, n: int, max_depth: int, thin: int):
+    lp = lambda q_: logprob_fn(q_, ctx)
+    grad_fn = jax.grad(lp)
+
+    def outer(carry, _):
+        q, key, acc, dep = carry
+        def inner(c, _):
+            q, k, acc, dep = c
+            k, kk = jax.random.split(k)
+            q, a, d = _nuts_transition(lp, grad_fn, q, kk, eps,
+                                       inv_mass, max_depth)
+            return (q, k, acc + a, dep + d), None
+        (q, key, acc, dep), _ = lax.scan(inner, (q, key, acc, dep), None,
+                                         length=thin)
+        return (q, key, acc, dep), q
+
+    (q, key, acc, dep), samples = lax.scan(
+        outer, (q, key, jnp.zeros(()), jnp.zeros((), jnp.int32)), None,
+        length=n)
+    return q, key, samples, acc, dep
+
+
 def _ckpt_write(path: str, payload: dict) -> None:
     """Atomic chunk-state write (tmp + rename): a killed process can never
     leave a truncated checkpoint behind."""
@@ -503,9 +551,21 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
                        init_step_size: float = 0.05,
                        progress: bool = False, dense_mass: bool = False,
                        mesh=None, init_inv_mass=None,
-                       checkpoint_path: str | None = None) -> NUTSResult:
+                       checkpoint_path: str | None = None,
+                       ctx=None) -> NUTSResult:
     """Chunked multi-chain NUTS: identical semantics to run_chains but
     every device dispatch is bounded to ~chunk transitions.
+
+    ``ctx``: optional pytree of PER-CHAIN target context, every leaf with
+    leading axis n_chains; when given, the target is ``logprob_fn(q,
+    ctx_slice)`` instead of ``logprob_fn(q)``. Chain i samples its own
+    posterior — step size and mass still adapt per chain — so a batch of
+    per-dataset targets (e.g. NeuTra refits of every PSIS-flagged
+    dataset, padded to a common trial count) runs as ONE compiled
+    program: one compile + fused dispatches for the whole batch, instead
+    of a multi-minute recompile per dataset. The checkpoint fingerprint
+    does NOT cover ctx (same caveat as the data closure above): use one
+    checkpoint path per batch.
 
     ``dense_mass=True`` adapts a full covariance inverse mass per chain
     (needed for the dcDDM alpha/varsigma ridge). ``mesh`` (a 1-D
@@ -576,18 +636,30 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
         _ckpt_write(checkpoint_path, payload)
 
     def make_vw(step):
-        f = jax.vmap(
-            lambda c, t0: _warmup_chunk(logprob_fn, c, t0, step,
-                                        n_warmup, max_depth, target_accept,
-                                        init_step_size, dense_mass),
-            in_axes=(0, None))
+        if ctx is None:
+            f = jax.vmap(
+                lambda c, t0: _warmup_chunk(logprob_fn, c, t0, step,
+                                            n_warmup, max_depth,
+                                            target_accept, init_step_size,
+                                            dense_mass),
+                in_axes=(0, None))
+            bind = lambda g: g
+        else:
+            f = jax.vmap(
+                lambda c, x, t0: _warmup_chunk_ctx(
+                    logprob_fn, x, c, t0, step, n_warmup, max_depth,
+                    target_accept, init_step_size, dense_mass),
+                in_axes=(0, 0, None))
+            bind = lambda g: (lambda c, t0: g(c, ctx, t0))
         if mesh is None:
-            return f
+            return bind(f)
         from jax.sharding import PartitionSpec as P
         axis = mesh.axis_names[0]
-        return jax.jit(jax.shard_map(
-            f, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis),
-            check_vma=False))
+        specs = ((P(axis), P()) if ctx is None
+                 else (P(axis), P(axis), P()))
+        return bind(jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=specs, out_specs=P(axis),
+            check_vma=False)))
 
     vw = make_vw(min(chunk, n_warmup))
     done = warmup_done
@@ -607,16 +679,24 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
     q, keys2 = carry.q, carry.key
 
     def make_vs(step):
-        f = jax.vmap(
-            lambda q, k, e, m: _sample_chunk(logprob_fn, q, k, e, m,
-                                             step, max_depth, thin))
+        if ctx is None:
+            f = jax.vmap(
+                lambda q, k, e, m: _sample_chunk(logprob_fn, q, k, e, m,
+                                                 step, max_depth, thin))
+            bind = lambda g: g
+        else:
+            f = jax.vmap(
+                lambda q, k, e, m, x: _sample_chunk_ctx(
+                    logprob_fn, x, q, k, e, m, step, max_depth, thin))
+            bind = lambda g: (lambda q, k, e, m: g(q, k, e, m, ctx))
         if mesh is None:
-            return f
+            return bind(f)
         from jax.sharding import PartitionSpec as P
         axis = mesh.axis_names[0]
-        return jax.jit(jax.shard_map(
-            f, mesh=mesh, in_specs=(P(axis),) * 4, out_specs=(P(axis),) * 5,
-            check_vma=False))
+        n_in = 4 if ctx is None else 5
+        return bind(jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=(P(axis),) * n_in,
+            out_specs=(P(axis),) * 5, check_vma=False)))
 
     vs = make_vs(min(chunk, n_samples))
     all_samples, acc_tot, dep_tot = [], 0.0, 0.0

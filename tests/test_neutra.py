@@ -273,3 +273,75 @@ def test_neutra_matches_plain_marginal_nuts():
         pooled = np.sqrt(0.5 * (a.var() + b.var()))
         assert abs(a.mean() - b.mean()) < 4.0 * se + 0.1 * pooled, (
             name, a.mean(), b.mean(), se, ne_a, ne_b)
+
+
+def test_batched_neutra_targets_match_serial():
+    """The batched per-chain-context targets evaluate the SAME posterior
+    log-density as the serial single-dataset builders, for both families
+    (on fully-valid datasets, where the capped-ext semantics coincide)."""
+    # flagship: build a 2-dataset batch by stacking the fixture twice
+    # with different seeds
+    spec, theta, d1, m1, l1 = _one_flagship_dataset(seed=11)
+    _, _, d2, m2, l2 = _one_flagship_dataset(seed=12)
+    data = jnp.concatenate([d1, d2]); mask = jnp.concatenate([m1, m2])
+    log_n = jnp.concatenate([l1, l2])
+    am = build_amortizer(spec)
+    params = am.init(jax.random.PRNGKey(7), theta, d1, m1, l1)
+    lp_b, push_b, ctx, dim = NT.make_logprob_flagship_neutra_batched(
+        am, params, data, mask, log_n, n_quad=8)
+    assert dim == 7
+    for d in range(2):
+        y = np.asarray(data[d, :, 0])
+        valid = y != 0.0
+        if not valid.all():      # capped trials: semantics differ; skip
+            continue
+        fdata = M.FlagshipData(
+            y=jnp.asarray(y[valid]),
+            ext=jnp.asarray(data[d, :, 1])[valid],
+            participant=jnp.zeros(int(valid.sum()), jnp.int32), nparts=1,
+            valid=jnp.ones(int(valid.sum()), bool))
+        lp_s, push_s, _ = NT.make_logprob_flagship_neutra(
+            fdata, am, params, data[d], mask[d], log_n[d], n_quad=8)
+        c = jax.tree.map(lambda x: x[d], ctx)
+        for s in range(3):
+            eps = 0.5 * jax.random.normal(jax.random.PRNGKey(s), (7,))
+            np.testing.assert_allclose(float(lp_b(eps, c)),
+                                       float(lp_s(eps)), rtol=2e-6,
+                                       atol=2e-4)
+            np.testing.assert_allclose(np.asarray(push_b(eps, c)),
+                                       np.asarray(push_s(eps)), rtol=1e-6)
+
+    # dcDDM
+    spec2 = zoo.get_model("basic_ddm_dc")
+    theta2 = jnp.asarray([[1.0, 1.1, 0.5, 0.3, 1.0],
+                          [-0.5, 1.3, 0.45, 0.25, 0.9]], jnp.float32)
+    n_trials = 48
+    mask2 = jnp.ones((2, n_trials), bool)
+    data2 = spec2.simulate(jax.random.PRNGKey(5), theta2, n_trials,
+                           active=mask2)
+    log_n2 = jnp.full((2, 1), np.log(n_trials), jnp.float32)
+    am2 = build_amortizer(spec2)
+    params2 = am2.init(jax.random.PRNGKey(7), theta2, data2, mask2,
+                       log_n2)
+    lp2_b, push2_b, ctx2, dim2 = NT.make_logprob_dcddm_neutra_batched(
+        am2, params2, data2, mask2, log_n2)
+    assert dim2 == 5
+    for d in range(2):
+        rt, choice = np.asarray(data2[d, :, 0]), np.asarray(data2[d, :, 1])
+        valid = choice != 0
+        y = jnp.asarray((rt * choice)[valid], jnp.float32)
+        lp2_s, _, _ = NT.make_logprob_dcddm_neutra(
+            y, am2, params2, data2[d], mask2[d], log_n2[d])
+        c = jax.tree.map(lambda x: x[d], ctx2)
+        for s in range(3):
+            eps = 0.5 * jax.random.normal(jax.random.PRNGKey(10 + s), (5,))
+            np.testing.assert_allclose(float(lp2_b(eps, c)),
+                                       float(lp2_s(eps)), rtol=2e-6,
+                                       atol=2e-4)
+
+
+def test_replicate_ctx_layout():
+    ctx = {"a": jnp.arange(3.0)[:, None]}
+    r = NT.replicate_ctx(ctx, 2)
+    np.testing.assert_array_equal(np.asarray(r["a"][:, 0]),
+                                  [0, 0, 1, 1, 2, 2])
