@@ -284,6 +284,43 @@ def main(argv=None):
             return res
         return N.run_chains_chunked(logprob_fn, q0s, key_, **common)
 
+    def _batched_neutra_fit(flagship: bool):
+        """Every selected dataset's NeuTra fit as ONE compiled NUTS
+        program: the per-dataset targets differ only by data, which
+        enters the chunked driver as a traced per-chain context
+        (nuts.run_chains_chunked ctx=...) instead of a new closure —
+        one compile for the whole set instead of one multi-minute
+        remote compile per dataset. Returns sdict {name: (M, S, C)}.
+        Capped trials keep their observed covariate channel in the
+        flagship likelihood (the certification target's semantics)."""
+        from ..mcmc import neutra as NT
+        D = args.num_datasets
+        if flagship:
+            lp, push, ctx, dim = NT.make_logprob_flagship_neutra_batched(
+                trainer.amortizer, state.params, jnp.asarray(d),
+                jnp.asarray(m), log_n, n_quad=args.n_quad)
+        else:
+            lp, push, ctx, dim = NT.make_logprob_dcddm_neutra_batched(
+                trainer.amortizer, state.params, jnp.asarray(d),
+                jnp.asarray(m), log_n)
+        q0 = NT.neutra_initial_positions(jax.random.fold_in(key, 300),
+                                         D * args.chains, dim)
+        print(f"{D} datasets x {args.chains} chains: batched NeuTra "
+              f"NUTS (dim {dim}), one compiled program", flush=True)
+        res = N.run_chains_chunked(
+            lp, q0, jax.random.fold_in(key, 400), n_warmup=args.warmup,
+            n_samples=args.samples, thin=args.thin,
+            max_depth=args.max_depth, chunk=args.chunk, progress=True,
+            dense_mass=False, init_inv_mass=jnp.ones(dim, jnp.float32),
+            checkpoint_path=args.nuts_checkpoint,
+            ctx=NT.replicate_ctx(ctx, args.chains))
+        n_kept = res.samples.shape[1]
+        eps = jnp.asarray(np.asarray(res.samples).reshape(
+            D, args.chains, n_kept, dim))
+        theta = np.asarray(jax.vmap(push)(eps, ctx))   # (D, C, S, P)
+        return {name: np.transpose(theta[..., j], (0, 2, 1))
+                for j, name in enumerate(spec.param_names)}
+
     # --- backend B: exact likelihood + NUTS ------------------------------
     ds_idx, tr_idx = np.nonzero(valid)
     if args.model == "single_trial_alpha_not_scaled" and args.per_dataset:
@@ -296,8 +333,14 @@ def main(argv=None):
         min_rt = np.array([np.abs(y[ds_idx == i]).min()
                            if np.any(ds_idx == i) else 1.0
                            for i in range(args.num_datasets)])
-        sdict_parts = []
-        for i in range(args.num_datasets):
+        if args.neutra and args.tempered <= 1:
+            sdict = _batched_neutra_fit(flagship=True)
+            name_map = {n_: n_ for n_ in spec.param_names}
+            sdict_parts = None
+        else:
+            sdict_parts = []
+        for i in (range(args.num_datasets) if sdict_parts is not None
+                  else ()):
             sel = ds_idx == i
             n_i = int(sel.sum())
             data_i = M.FlagshipData(
@@ -346,9 +389,11 @@ def main(argv=None):
                     np.asarray(res_i.samples), data_i,
                     parameterization=args.parameterization)
             sdict_parts.append({k: np.asarray(v) for k, v in d_i.items()})
-        sdict = {k: np.concatenate([p_[k] for p_ in sdict_parts], axis=0)
-                 for k in sdict_parts[0]}
-        name_map = {n_: n_ for n_ in spec.param_names}
+        if sdict_parts is not None:
+            sdict = {k: np.concatenate([p_[k] for p_ in sdict_parts],
+                                       axis=0)
+                     for k in sdict_parts[0]}
+            name_map = {n_: n_ for n_ in spec.param_names}
     elif args.model == "single_trial_alpha_not_scaled":
         y = signed_y[ds_idx, tr_idx].astype(np.float32)
         ext = d[..., 1][ds_idx, tr_idx].astype(np.float32)
@@ -381,34 +426,15 @@ def main(argv=None):
             s, mdata, parameterization=args.parameterization)
         name_map = {n_: n_ for n_ in spec.param_names}
     elif args.neutra:
-        # per-dataset NeuTra refits of the dcDDM — the designed exact
-        # fallback for full-prior datasets whose PSIS certification fails
-        # (importance_dcddm_prior_r3: khat up to 32 on the near-degenerate
-        # tail) and whose geometry freezes plain NUTS
-        from ..mcmc import neutra as NT
-        y_all = (choice[ds_idx, tr_idx]
-                 * rt[ds_idx, tr_idx]).astype(np.float32)
-        sdict_parts = []
-        for i in range(args.num_datasets):
-            y_i = jnp.asarray(y_all[ds_idx == i])
-            logprob_i, push_i, dim_i = NT.make_logprob_dcddm_neutra(
-                y_i, trainer.amortizer, state.params,
-                jnp.asarray(d[i]), jnp.asarray(m[i]), log_n[i])
-            q0_i = NT.neutra_initial_positions(
-                jax.random.fold_in(key, 300 + i), args.chains, dim_i)
-            print(f"dataset {i}: NeuTra NUTS over {dim_i} parameters, "
-                  f"{int(y_i.shape[0])} trials, {args.chains} chains",
-                  flush=True)
-            ck_i = (f"{args.nuts_checkpoint}.ds{i}.npz"
-                    if args.nuts_checkpoint else None)
-            res_i = _run_nuts(logprob_i, q0_i,
-                              jax.random.fold_in(key, 400 + i),
-                              jnp.ones(dim_i, jnp.float32), ck_i)
-            d_i = NT.neutra_samples_to_dict(
-                np.asarray(res_i.samples), push_i, spec.param_names)
-            sdict_parts.append({k: np.asarray(v) for k, v in d_i.items()})
-        sdict = {k: np.concatenate([p_[k] for p_ in sdict_parts], axis=0)
-                 for k in sdict_parts[0]}
+        # batched per-dataset NeuTra refits of the dcDDM — the designed
+        # exact fallback for full-prior datasets whose PSIS certification
+        # fails (importance_dcddm_prior_r3: khat up to 32 on the
+        # near-degenerate tail) and whose geometry freezes plain NUTS.
+        # All selected datasets sample in ONE compiled program.
+        if args.tempered > 1:
+            raise SystemExit("--tempered does not compose with the "
+                             "batched --neutra path")
+        sdict = _batched_neutra_fit(flagship=False)
         name_map = {n_: n_ for n_ in spec.param_names}
     else:
         y = (choice[ds_idx, tr_idx] * rt[ds_idx, tr_idx]).astype(np.float32)

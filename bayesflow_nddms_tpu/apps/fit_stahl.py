@@ -263,28 +263,33 @@ def main(argv=None):
             # amortized fit is judged against (mcmc/neutra.py; the same
             # route the simulated-data studies validated end-to-end,
             # agreement_flagship_refit*_r3). khat = inf sorts first.
-            from ..inference import refit_exact
+            from ..inference import refit_exact_batch
             flagged = np.nonzero(~ok)[0]
             sel = flagged[np.argsort(-khat[flagged])][:args.refit_flagged]
             key = jax.random.PRNGKey(17)
+            print(f"refitting participants "
+                  f"{[str(parts[i]) for i in sel]} (khat "
+                  f"{np.round(khat[sel], 2).tolist()}): batched NeuTra "
+                  f"NUTS, {args.refit_chains} chains each, one compiled "
+                  f"program", flush=True)
+            ck = (f"{args.nuts_checkpoint}.refits.npz"
+                  if args.nuts_checkpoint else None)
+            refit_map = refit_exact_batch(
+                spec, trainer, state, data, mask, log_n, sel, key,
+                n_quad=args.n_quad, warmup=args.refit_warmup,
+                samples=args.refit_samples, chains=args.refit_chains,
+                max_depth=args.refit_max_depth, chunk=args.refit_chunk,
+                checkpoint_path=ck, progress=True)
             refits = []
             for i in map(int, sel):
-                v = mask[i] & (data[i][:, 0] != 0)
-                n_i = int(v.sum())
+                r = refit_map[i]
                 pid = str(parts[i])
-                print(f"refit participant {pid} ({n_i} trials, khat "
-                      f"{khat[i]:.2f}): NeuTra NUTS, "
-                      f"{args.refit_chains} chains", flush=True)
-                ck = (f"{args.nuts_checkpoint}.p{pid}.npz"
-                      if args.nuts_checkpoint else None)
-                d_i, diags = refit_exact(
-                    spec, trainer, state, data[i], mask[i], log_n[i],
-                    jax.random.fold_in(key, i), n_quad=args.n_quad,
-                    warmup=args.refit_warmup, samples=args.refit_samples,
-                    chains=args.refit_chains,
-                    max_depth=args.refit_max_depth, chunk=args.refit_chunk,
-                    checkpoint_path=ck, progress=True)
-                ex = np.stack([d_i[n][0] for n in spec.param_names], -1)
+                n_i = int((mask[i] & (data[i][:, 0] != 0)).sum())
+                # (S*C, P) chain-major flat -> (S, C, P+1) with the derived
+                # prop_cog_var column, the serial-era npz layout
+                ex = r.samples.reshape(args.refit_chains,
+                                       args.refit_samples, -1)
+                ex = np.transpose(ex, (1, 0, 2))
                 ex = np.concatenate(
                     [ex, prop_cognitive_variance(ex)[..., None]], axis=-1)
                 ex_flat = ex.reshape(-1, ex.shape[-1])     # (S*C, 8)
@@ -293,12 +298,8 @@ def main(argv=None):
                     "participant": pid,
                     "n_trials": n_i,
                     "khat": round(float(khat[i]), 3),
-                    "rhat_max": round(float(max(
-                        np.nanmax(diags[n]["rhat"])
-                        for n in spec.param_names)), 3),
-                    "neff_min": round(float(min(
-                        np.nanmin(diags[n]["neff"])
-                        for n in spec.param_names)), 1),
+                    "rhat_max": round(r.rhat_max, 3),
+                    "neff_min": round(r.neff_min, 1),
                     "exact_mean": {n: round(float(ex_mean[j]), 4)
                                    for j, n in enumerate(names)},
                     "exact_sd": {n: round(float(ex_sd[j]), 4)

@@ -183,3 +183,34 @@ def test_metrics_logger(tmp_path):
     tp = Throughput()
     assert tp.update(100) is None
     assert tp.update(100) is not None and tp.total == 200
+
+
+@pytest.mark.slow
+def test_agreement_neutra_batched_tiny(monkeypatch):
+    """--neutra now runs every selected dataset in ONE compiled NUTS
+    program (per-chain ctx fan-out) for both families; mechanics test at
+    a tiny budget."""
+    monkeypatch.chdir("/root/repo")  # needs the trained checkpoints
+    from bayesflow_nddms_tpu.apps.agreement import main
+    s = main(["--model", "basic_ddm_dc", "--num-datasets", "3",
+              "--only-datasets", "0,2", "--neutra",
+              "--warmup", "20", "--samples", "6", "--chains", "2",
+              "--max-depth", "3", "--chunk", "20", "--draws", "32",
+              "--seed", "12",
+              "--ckpt-dir", "trained/basic_ddm_dc_100k_r3c"])
+    assert s["num_datasets"] == 2
+    assert set(s["per_param"]) == {"drift", "alpha", "beta", "ter", "dc"}
+    for v in s["per_param"].values():
+        assert np.isfinite(v["mean_abs_dz"])
+
+    s2 = main(["--model", "single_trial_alpha_not_scaled",
+               "--num-datasets", "2", "--only-datasets", "1",
+               "--marginal", "--per-dataset", "--neutra",
+               "--warmup", "20", "--samples", "6", "--chains", "2",
+               "--max-depth", "3", "--chunk", "20", "--draws", "32",
+               "--n-quad", "8", "--seed", "11",
+               "--ckpt-dir",
+               "trained/single_trial_alpha_not_scaled_100k_r3c"])
+    assert s2["num_datasets"] == 1
+    for v in s2["per_param"].values():
+        assert np.isfinite(v["mean_abs_dz"])
