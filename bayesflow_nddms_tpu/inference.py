@@ -101,13 +101,14 @@ def amortized_logw(spec, trainer, state, draws, data, mask, log_n, *,
 
 @dataclass
 class ExactRefit:
-    """One flagged dataset's exact NeuTra-NUTS posterior (model space)."""
+    """One flagged dataset's exact-NUTS posterior (model space)."""
     index: int
     samples: np.ndarray          # (S*C, P) flattened model-space draws
     mean: np.ndarray             # (P,)
     sd: np.ndarray               # (P,)
     rhat_max: float
     neff_min: float
+    method: str = "neutra"       # "neutra" | "plain"
 
 
 @dataclass
@@ -276,16 +277,134 @@ def refit_exact_batch(spec, trainer, state, data, mask, log_n, indices,
     return out
 
 
+def refit_plain_batch(spec, trainer, state, data, mask, log_n, indices,
+                      key, *, n_quad: int = 24, warmup: int = 700,
+                      samples: int = 1000, chains: int = 8,
+                      max_depth: int = 8, chunk: int = 50,
+                      checkpoint_path: Optional[str] = None,
+                      amort_mean=None, amort_sd=None,
+                      progress: bool = False) -> Dict[int, ExactRefit]:
+    """Plain-coordinate (natural) exact refits, batched as one program.
+
+    The fallback tier for datasets whose SATURATED khat says the flow's
+    transport map is itself broken — there NeuTra inherits the breakage
+    (measured: Rhat 27-6.5e4 on exactly those datasets, ROUND3.md), and
+    plain coordinates depend on nothing the flow got wrong. Both
+    families ride the same batched ctx driver (flagship: natural-
+    coordinate Rao-Blackwellized marginal; dcDDM: natural-coordinate
+    WFPT). Mass is diagonally preconditioned from the amortized moments
+    when given — per-chain diagonal ``init_inv_mass``.
+    """
+    from .diagnostics.convergence import diagnostic
+    flagship = _family(spec)
+    indices = [int(i) for i in indices]
+    sel = jnp.asarray(indices)
+    adata = jnp.asarray(data)[sel]
+    amask = jnp.asarray(mask)[sel]
+    if flagship:
+        logprob, push, ctx, dim = M.make_logprob_flagship_marginal_batched(
+            adata, amask, n_quad=n_quad)
+        bounds = [None] + [M._FLAG_BOUNDS[n] for n in M._FLAG_ORDER[1:]]
+        y_np = np.asarray(adata[..., 0])
+        v_np = np.asarray(amask) & (y_np != 0)
+    else:
+        logprob, push, ctx, dim = M.make_logprob_dcddm_plain_batched(
+            adata, amask)
+        bounds = [None] + [M._BOUNDS[n]
+                           for n in M._DCDDM_SPEC_TO_MCMC[1:]]
+        rt = np.asarray(adata[..., 0])
+        ch = np.asarray(adata[..., 1])
+        y_np = rt * ch
+        v_np = np.asarray(amask) & (ch != 0)
+    D = len(indices)
+
+    def _logit(x, lo, hi):
+        p = np.clip((x - lo) / (hi - lo), 1e-4, 1 - 1e-4)
+        return np.log(p) - np.log1p(-p)
+
+    # per-dataset overdispersed natural-coordinate inits; ter starts
+    # strictly below each dataset's min RT (the WFPT |y| < ter guard is
+    # a barrier: a chain born above it would start at -inf)
+    rng = np.random.default_rng(int(jax.random.randint(
+        jax.random.fold_in(key, 0), (), 0, 2 ** 31 - 1)))
+    q0s, masses = [], []
+    ranges = ([(-2.0, 2.0), (0.7, 1.8), (0.3, 0.7), None, (0.3, 1.2),
+               (0.7, 1.4), (0.5, 2.0)] if flagship
+              else [(-2.0, 2.0), (0.8, 1.6), (0.3, 0.7), None,
+                    (0.7, 1.4)])
+    ter_j = 3
+    for d in range(D):
+        min_rt = float(np.abs(y_np[d][v_np[d]]).min()) \
+            if v_np[d].any() else 1.0
+        cols = []
+        for j, r in enumerate(ranges):
+            if j == ter_j:
+                x = rng.uniform(0.05, 1.0, chains) * (min_rt / 2.0)
+            else:
+                x = rng.uniform(*r, chains)
+            cols.append(x if bounds[j] is None
+                        else _logit(x, *bounds[j]))
+        q0s.append(np.stack(cols, axis=-1).astype(np.float32))
+        if amort_mean is not None:
+            var_z = np.ones(dim, np.float32)
+            for b in range(dim):
+                mean_x = amort_mean[indices[d], b]
+                sd_x = amort_sd[indices[d], b]
+                if bounds[b] is None:
+                    var_z[b] = sd_x ** 2
+                else:
+                    lo, hi = bounds[b]
+                    s = np.clip((mean_x - lo) / (hi - lo), 1e-3, 1 - 1e-3)
+                    var_z[b] = (sd_x / ((hi - lo) * s * (1.0 - s))) ** 2
+            masses.append(np.clip(var_z, 1e-6, 1e2))
+        else:
+            masses.append(np.ones(dim, np.float32))
+    q0 = jnp.asarray(np.concatenate(q0s, axis=0))      # (D*C, dim)
+    iv = jnp.asarray(np.repeat(np.stack(masses), chains, axis=0),
+                     jnp.float32)                      # (D*C, dim)
+    res = N.run_chains_chunked(
+        logprob, q0, jax.random.fold_in(key, 1), n_warmup=warmup,
+        n_samples=samples, thin=1, max_depth=max_depth, chunk=chunk,
+        progress=progress, dense_mass=False, init_inv_mass=iv,
+        checkpoint_path=checkpoint_path,
+        ctx=NT.replicate_ctx(ctx, chains))
+    z_all = np.asarray(res.samples).reshape(D, chains, samples, dim)
+    theta_all = np.asarray(push(jnp.asarray(z_all)))
+    out: Dict[int, ExactRefit] = {}
+    for d, i in enumerate(indices):
+        sdict = {name: np.transpose(theta_all[d][..., j], (1, 0))[None]
+                 for j, name in enumerate(spec.param_names)}
+        diags = diagnostic(sdict)
+        flat = theta_all[d].reshape(-1, dim)
+        out[i] = ExactRefit(
+            index=i, samples=flat, mean=flat.mean(0), sd=flat.std(0),
+            rhat_max=float(max(np.nanmax(diags[n]["rhat"])
+                               for n in spec.param_names)),
+            neff_min=float(min(np.nanmin(diags[n]["neff"])
+                               for n in spec.param_names)),
+            method="plain")
+    return out
+
+
 def certified_posterior(spec, trainer, state, data, mask, log_n, key, *,
                         draws: int = 2000, n_quad: int = 24,
                         draw_chunk: int = 64, khat_threshold: float = 0.7,
                         refit_flagged: int = 0, refit_opts: dict = None,
+                        khat_neutra_max: float = 3.0,
                         nuts_checkpoint: Optional[str] = None,
                         progress: bool = False) -> CertifiedPosterior:
     """Fit every dataset amortized, certify each fit with PSIS, debias
     where certified, and exactly re-fit the ``refit_flagged`` worst-khat
-    failures with NeuTra NUTS. ``data (B, N, C)``, ``mask (B, N)``,
-    ``log_n (B, 1)`` in the amortizer's layout."""
+    failures. ``data (B, N, C)``, ``mask (B, N)``, ``log_n (B, 1)`` in
+    the amortizer's layout.
+
+    Refit routing follows the measured khat bands (ROUND3.md): flagged
+    datasets with khat < ``khat_neutra_max`` re-fit with NeuTra NUTS
+    (the flow preconditions its own moderate errors — Rhat <= 1.004 at
+    budgets where plain NUTS hits 5.6); datasets at saturated/extreme
+    khat re-fit in PLAIN natural coordinates (there the flow transport
+    itself is broken and NeuTra inherits the breakage — measured Rhat
+    27-6.5e4). Each tier is one batched compiled program."""
     flagship = _family(spec)
     data, mask = jnp.asarray(data), jnp.asarray(mask)
     log_n = jnp.asarray(log_n)
@@ -307,13 +426,32 @@ def certified_posterior(spec, trainer, state, data, mask, log_n, key, *,
     flagged = np.nonzero(~cp.certified)[0]
     if refit_flagged > 0 and flagged.size:
         sel = flagged[np.argsort(-khat[flagged])][:refit_flagged]
-        if progress:
-            print(f"refitting datasets {sel.tolist()} (khat "
-                  f"{np.round(khat[sel], 2).tolist()}): batched NeuTra "
-                  f"NUTS, one compiled program", flush=True)
-        cp.refits = refit_exact_batch(
-            spec, trainer, state, data, mask, log_n, sel,
-            jax.random.fold_in(key, 1000), n_quad=n_quad,
-            progress=progress, checkpoint_path=nuts_checkpoint,
-            **(refit_opts or {}))
+        neutra_sel = [int(i) for i in sel if khat[i] < khat_neutra_max]
+        plain_sel = [int(i) for i in sel if khat[i] >= khat_neutra_max]
+        if neutra_sel:
+            if progress:
+                print(f"refitting datasets {neutra_sel} (khat "
+                      f"{np.round(khat[neutra_sel], 2).tolist()}): "
+                      f"batched NeuTra NUTS", flush=True)
+            cp.refits.update(refit_exact_batch(
+                spec, trainer, state, data, mask, log_n, neutra_sel,
+                jax.random.fold_in(key, 1000), n_quad=n_quad,
+                progress=progress,
+                checkpoint_path=(f"{nuts_checkpoint}.neutra.npz"
+                                 if nuts_checkpoint else None),
+                **(refit_opts or {})))
+        if plain_sel:
+            if progress:
+                print(f"refitting datasets {plain_sel} (khat "
+                      f"{np.round(khat[plain_sel], 2).tolist()} >= "
+                      f"{khat_neutra_max}, flow transport unusable): "
+                      f"batched plain-coordinate NUTS", flush=True)
+            cp.refits.update(refit_plain_batch(
+                spec, trainer, state, data, mask, log_n, plain_sel,
+                jax.random.fold_in(key, 2000), n_quad=n_quad,
+                amort_mean=cp.raw_mean, amort_sd=cp.raw_sd,
+                progress=progress,
+                checkpoint_path=(f"{nuts_checkpoint}.plain.npz"
+                                 if nuts_checkpoint else None),
+                **(refit_opts or {})))
     return cp

@@ -442,6 +442,94 @@ def make_logprob_flagship_marginal(data: FlagshipData,
     return logprob, unflatten, dim
 
 
+def make_logprob_flagship_marginal_batched(adata: Array, amask: Array,
+                                           n_quad: int = 24):
+    """Per-chain-context marginal targets (NATURAL coordinates) for a
+    padded batch of single flagship datasets — the plain-coordinate twin
+    of ``neutra.make_logprob_flagship_neutra_batched`` for
+    ``nuts.run_chains_chunked(ctx=...)``.
+
+    ``adata (D, N_pad, C)`` / ``amask (D, N_pad)`` in the amortizer's
+    layout (channel 0 = signed choicert, 1 = covariate). Returns
+    ``(logprob, push, ctx, dim=7)``: ``logprob(z, ctx_d)`` is dataset
+    d's ``make_logprob_flagship_marginal`` (P=1, natural) up to the
+    capped-trial convention — capped trials keep their evidence term Z,
+    exactly as the marginal likelihood defines it; padding rows are
+    excluded wholesale. ``push(z)`` maps natural z of any leading shape
+    to constrained theta in spec order (data-free bounds transform).
+
+    This is the refit tier for datasets whose SATURATED khat says the
+    flow transport itself is broken (measured: NeuTra inherits the
+    breakage there, ROUND3.md) — plain coordinates depend on nothing
+    the flow got wrong."""
+    y = adata[..., 0]
+    valid = amask & (y != 0.0)
+    ctx = {"y": jnp.where(valid, y, 2.0), "ext": adata[..., 1],
+           "valid": valid, "pad": amask}
+    u_nodes, log_w = quadrature_rule(n_quad)
+
+    def push(z: Array) -> Array:
+        cols = [z[..., 0]]
+        for i, name in enumerate(_FLAG_ORDER[1:], start=1):
+            lo, hi = _FLAG_BOUNDS[name]
+            cols.append(lo + (hi - lo) * jax.nn.sigmoid(z[..., i]))
+        return jnp.stack(cols, axis=-1)
+
+    def logprob(z: Array, c) -> Array:
+        raw = {name: z[i:i + 1] for i, name in enumerate(_FLAG_ORDER)}
+        th, lp = _flagship_globals_lp(raw, False)
+        ll = flagship_marginal_trial_ll(
+            c["y"], c["ext"], c["valid"], th["mu_alpha"],
+            th["std_alpha"], th["sigma1"], th["ter"], th["beta"],
+            th["drift"], th["dc"], u_nodes, log_w)
+        return lp + jnp.sum(jnp.where(c["pad"], ll, 0.0))
+
+    return logprob, push, ctx, 7
+
+
+_DCDDM_SPEC_TO_MCMC = ("delta", "alpha", "beta", "ndt", "varsigma")
+
+
+def make_logprob_dcddm_plain_batched(adata: Array, amask: Array):
+    """Per-chain-context plain (natural-coordinate) dcDDM targets for a
+    padded batch of single datasets — the dcDDM twin of
+    ``make_logprob_flagship_marginal_batched``. z follows SPEC order
+    (drift, alpha, beta, ter, dc); priors and bounds are the shared
+    ``basic_ddm_dc_pyjags.py:112-133`` semantics (`_PRIORS`/`_BOUNDS`).
+    Capped/missing trials (choice 0) and padding rows are excluded from
+    the WFPT sum, matching ``make_logprob`` per participant."""
+    rt, choice = adata[..., 0], adata[..., 1]
+    valid = amask & (choice != 0.0)
+    ctx = {"y": jnp.where(valid, rt * choice, 2.0), "valid": valid}
+
+    def push(z: Array) -> Array:
+        cols = []
+        for j, name in enumerate(_DCDDM_SPEC_TO_MCMC):
+            if name == "delta":
+                cols.append(z[..., j])
+            else:
+                lo, hi = _BOUNDS[name]
+                cols.append(lo + (hi - lo) * jax.nn.sigmoid(z[..., j]))
+        return jnp.stack(cols, axis=-1)
+
+    def logprob(z: Array, c) -> Array:
+        lp = 0.0
+        th = []
+        for j, name in enumerate(_DCDDM_SPEC_TO_MCMC):
+            if name == "delta":
+                x = z[j]
+            else:
+                lo, hi = _BOUNDS[name]
+                x, jac = _sigmoid_transform(z[j], lo, hi)
+                lp = lp + jac
+            lp = lp + _PRIORS[name].log_prob(x)
+            th.append(x)
+        ll = diffusion_logpdf(c["y"], th[1], th[3], th[2], th[0], th[4])
+        return lp + jnp.sum(jnp.where(c["valid"], ll, 0.0))
+
+    return logprob, push, ctx, 5
+
+
 def quadrature_rule(n_quad: int):
     """Static Gauss-Legendre rule mapped to (0, 1): (nodes, log-weights)."""
     x_gl, w_gl = np.polynomial.legendre.leggauss(int(n_quad))

@@ -899,3 +899,64 @@ def test_nuts_ctx_per_chain_targets():
     np.testing.assert_array_equal(a.samples, b.samples)
     np.testing.assert_array_equal(np.asarray(a.step_size),
                                   np.asarray(b.step_size))
+
+
+def test_plain_batched_targets_match_serial():
+    """The plain-coordinate batched targets (ctx form) evaluate the same
+    posterior log-density as the serial natural-coordinate builders."""
+    from bayesflow_nddms_tpu.mcmc import models as M
+    from bayesflow_nddms_tpu.models import zoo
+
+    # flagship: batched z layout (spec order) == marginal natural layout
+    # at P=1, so the densities must agree pointwise
+    spec = zoo.get_model("single_trial_alpha_not_scaled")
+    theta = jnp.asarray([[1.2, 1.1, 0.5, 0.3, 0.4, 1.0, 1.0]], jnp.float32)
+    n = 48
+    mask = jnp.ones((1, n), bool)
+    data = spec.simulate(jax.random.PRNGKey(3), theta, n, active=mask)
+    lp_b, push_b, ctx, dim = M.make_logprob_flagship_marginal_batched(
+        data, mask, n_quad=8)
+    assert dim == 7
+    y = np.asarray(data[0, :, 0])
+    valid = y != 0.0
+    if valid.all():      # capped trials change the serial data layout
+        fdata = M.FlagshipData(
+            y=jnp.asarray(y), ext=jnp.asarray(data[0, :, 1]),
+            participant=jnp.zeros(n, jnp.int32), nparts=1,
+            valid=jnp.ones(n, bool))
+        lp_s, _, _ = M.make_logprob_flagship_marginal(
+            fdata, parameterization="natural", n_quad=8)
+        c = jax.tree.map(lambda x: x[0], ctx)
+        for s in range(3):
+            z = 0.7 * jax.random.normal(jax.random.PRNGKey(s), (7,))
+            np.testing.assert_allclose(float(lp_b(z, c)), float(lp_s(z)),
+                                       rtol=2e-6, atol=2e-4)
+            th = np.asarray(push_b(z))
+            assert th.shape == (7,) and np.isfinite(th).all()
+
+    # dcDDM: batched spec-order z vs make_logprob's mcmc-name-order z
+    spec2 = zoo.get_model("basic_ddm_dc")
+    theta2 = jnp.asarray([[1.0, 1.1, 0.5, 0.3, 1.0]], jnp.float32)
+    mask2 = jnp.ones((1, n), bool)
+    data2 = spec2.simulate(jax.random.PRNGKey(5), theta2, n, active=mask2)
+    lp2_b, push2_b, ctx2, dim2 = M.make_logprob_dcddm_plain_batched(
+        data2, mask2)
+    assert dim2 == 5
+    rt, choice = np.asarray(data2[0, :, 0]), np.asarray(data2[0, :, 1])
+    valid2 = choice != 0
+    mdata = M.DcDDMData(
+        y=jnp.asarray((rt * choice)[valid2], jnp.float32),
+        participant=jnp.zeros(int(valid2.sum()), jnp.int32), nparts=1)
+    lp2_s, _, _ = M.make_logprob(mdata)
+    c2 = jax.tree.map(lambda x: x[0], ctx2)
+    # spec order (drift, alpha, beta, ter, dc) -> mcmc layout
+    # (alpha, ndt, beta, delta, varsigma)
+    perm = [1, 3, 2, 0, 4]
+    for s in range(3):
+        z = 0.7 * jax.random.normal(jax.random.PRNGKey(10 + s), (5,))
+        z_mcmc = z[jnp.asarray(perm)]
+        np.testing.assert_allclose(float(lp2_b(z, c2)),
+                                   float(lp2_s(z_mcmc)), rtol=2e-6,
+                                   atol=2e-4)
+        th = np.asarray(push2_b(z))
+        assert th.shape == (5,) and np.isfinite(th).all()
