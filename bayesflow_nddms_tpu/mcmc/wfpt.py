@@ -60,26 +60,72 @@ def _fpt_large(tt: Array, w: Array) -> Array:
     return jnp.maximum(dens, 0.0)
 
 
-def wfpt_logpdf_lower(t: Array, v: Array, a: Array, w: Array,
-                      eps: float = 1e-29) -> Array:
-    """log f(t) for absorption at the LOWER boundary at decision time t > 0.
+def _wfpt_log_lower_scaled(t: Array, delta: Array, alpha: Array, w: Array,
+                           dc: Array, eps: float = 1e-29) -> Array:
+    """log f(t) at the LOWER boundary for drift ``delta``, separation
+    ``alpha``, relative start ``w`` and diffusion coefficient ``dc``
+    (i.e. the process before the a -> a/dc, v -> v/dc rescaling).
 
-    All args broadcast. Uses the Navarro-Fuss switching rule: small-time
-    series when it needs fewer terms for accuracy ~1e-7.
+    The small-time branch is evaluated in LOG space with the exponent of
+    term k grouped exactly as
+
+        -((w+2k)*alpha + delta*t)^2 / (2 t dc^2) + 2k*delta*alpha/dc^2
+
+    instead of the expanded ``-v*a*w - v^2 t/2 - wk^2 a^2/(2t)``. The
+    expanded form is a cancellation of +-(delta*alpha/dc^2)-scale terms
+    that reach ~1e6 nats at small ``dc`` while their sum is O(1): in
+    float32 the series factor underflows and the leftovers are garbage
+    (measured: spurious log-densities of +1e6/trial and a fake +1e30
+    posterior mode on near-deterministic datasets — results/ROUND3.md).
+    Grouping keeps every catastrophic cancellation inside
+    ``(w+2k)*alpha + delta*t``, an O(1)-scale sum, so the density stays
+    accurate arbitrarily far into the dc -> 0 needle regime. Exact
+    algebra, not an approximation; at dc = 1 it reproduces the classic
+    Navarro-Fuss evaluation (tested against it).
     """
     t = jnp.asarray(t, jnp.float32)
-    tt = t / (a * a)                 # normalized time
-    tt = jnp.maximum(tt, 1e-9)
     w = jnp.asarray(w, jnp.float32)
+    delta = jnp.asarray(delta, jnp.float32)
+    alpha = jnp.asarray(alpha, jnp.float32)
+    dc = jnp.asarray(dc, jnp.float32)
+    # broadcast everything up front: the log-space series indexes with
+    # [..., None], which needs a common array shape
+    t, delta, alpha, w, dc = jnp.broadcast_arrays(t, delta, alpha, w, dc)
+    dc2 = dc * dc
+    tt = jnp.maximum(t * dc2 / (alpha * alpha), 1e-9)  # normalized time
 
-    f_small = _fpt_small(tt, w)
+    # --- small-time series, signed logsumexp ----------------------------
+    ks = jnp.arange(-_K_SMALL, _K_SMALL + 1, dtype=jnp.float32)
+    wk = w[..., None] + 2.0 * ks                       # (..., 2K+1)
+    num = wk * alpha[..., None] + (delta * t)[..., None]   # O(1) scale
+    m = (jnp.log(jnp.maximum(jnp.abs(wk) * alpha[..., None], 1e-30))
+         - jnp.log(dc)[..., None]
+         - 1.5 * jnp.log(t)[..., None] - 0.5 * _LOG_2PI
+         - num * num / (2.0 * (t * dc2))[..., None]
+         + (2.0 * ks) * (delta * alpha / dc2)[..., None])
+    m_max = jnp.max(m, axis=-1)
+    s = jnp.sum(jnp.sign(wk) * jnp.exp(m - m_max[..., None]), axis=-1)
+    log_small = m_max + jnp.log(jnp.maximum(s, 1e-30))
+
+    # --- large-time series (only selected at tt >= 0.35, where the
+    # rescaled magnitudes are moderate and linear space is safe) ---------
     f_large = _fpt_large(tt, w)
+    log_large = (jnp.log(jnp.maximum(f_large, eps))
+                 - jnp.log(alpha * alpha / dc2)
+                 - (delta * alpha * w + delta * delta * t / 2.0) / dc2)
+
     # Navarro-Fuss: ks(tt) and kl(tt) term counts; prefer the cheaper one.
-    # ks ~ sqrt(tt)*... — for fixed K we simply switch at the classic
-    # crossover tt ~ 0.35 where both series are well within K=10 accuracy.
-    f0 = jnp.where(tt < 0.35, f_small, f_large)
-    log_f0 = jnp.log(jnp.maximum(f0, eps))
-    return log_f0 - jnp.log(a * a) - v * a * w - (v * v) * t / 2.0
+    # For fixed K we switch at the classic crossover tt ~ 0.35 where both
+    # series are well within K=10 accuracy.
+    return jnp.where(tt < 0.35, log_small, log_large)
+
+
+def wfpt_logpdf_lower(t: Array, v: Array, a: Array, w: Array,
+                      eps: float = 1e-29) -> Array:
+    """log f(t) for absorption at the LOWER boundary at decision time t > 0,
+    unit diffusion coefficient. All args broadcast."""
+    one = jnp.ones((), jnp.float32)
+    return _wfpt_log_lower_scaled(t, v, a, w, one, eps=eps)
 
 
 def diffusion_logpdf(y: Array, boundary: Array, ndt: Array, beta: Array,
@@ -102,18 +148,19 @@ def diffusion_logpdf(y: Array, boundary: Array, ndt: Array, beta: Array,
         HMC-differentiable, and is identically ZERO whenever ndt < |y| for
         every trial, i.e. in the entire support of the true posterior;
       * upper-boundary hits use the reflection (w -> 1-w, v -> -v);
-      * dc rescaling: a/dc, v/dc.
+      * dc rescaling: a/dc, v/dc — applied INSIDE the log-space density
+        (``_wfpt_log_lower_scaled``) where the dc -> 0 cancellations are
+        grouped exactly; prescaling here would reintroduce the float32
+        breakdown the grouped form removes.
     """
-    a = boundary / dc
-    v = drift / dc
     rt = jnp.abs(y)
     t_dec = jnp.maximum(rt - ndt, 1e-4)   # |y| < ter guard (pystan2:122-124)
     penalty = -1e4 * jnp.maximum(ndt - rt, 0.0)
     upper = y >= 0
     # lower-boundary density of the (possibly reflected) process
     w = jnp.where(upper, 1.0 - beta, beta)
-    vv = jnp.where(upper, -v, v)
-    return wfpt_logpdf_lower(t_dec, vv, a, w) + penalty
+    vv = jnp.where(upper, -drift, drift)
+    return _wfpt_log_lower_scaled(t_dec, vv, boundary, w, dc) + penalty
 
 
 def wfpt_logpdf(t: Array, choice: Array, drift: Array, boundary: Array,

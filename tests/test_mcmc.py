@@ -33,6 +33,51 @@ def test_wfpt_integrates_to_choice_probability(v, a, w):
     assert abs(mass - _analytic_p_lower(v, a, w)) < 2e-3
 
 
+def test_wfpt_log_space_matches_linear_form_in_normal_regime():
+    """The grouped log-space evaluation is exact algebra: it must match
+    the classic linear-space Navarro-Fuss form (reconstructed here from
+    the series primitives) everywhere the latter is numerically sound."""
+    from bayesflow_nddms_tpu.mcmc.wfpt import _fpt_large, _fpt_small
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = jnp.asarray(rng.uniform(0.05, 3.0, n), jnp.float32)
+    v = jnp.asarray(rng.uniform(-4, 4, n), jnp.float32)
+    a = jnp.asarray(rng.uniform(0.3, 3.0, n), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.05, 0.95, n), jnp.float32)
+    tt = jnp.maximum(t / (a * a), 1e-9)
+    f0 = jnp.where(tt < 0.35, _fpt_small(tt, w), _fpt_large(tt, w))
+    old = np.asarray(jnp.log(jnp.maximum(f0, 1e-29)) - jnp.log(a * a)
+                     - v * a * w - v * v * t / 2.0)
+    new = np.asarray(wfpt_logpdf_lower(t, v, a, w))
+    m = old > -60          # above the old form's log-eps floor
+    assert m.sum() > 4000
+    assert np.max(np.abs(new[m] - old[m])) < 1e-3
+
+
+def test_wfpt_needle_regime_no_positive_garbage():
+    """dc -> 0 regression: the expanded linear-space form cancels
+    +-(delta*alpha/dc^2)-scale terms and emitted spurious per-trial
+    log-densities of +1e6 in float32 (fake +1e30 posterior modes on
+    near-deterministic datasets — ROUND3.md). The grouped log-space
+    evaluation must stay physical: smooth and moderate where the data
+    match the deterministic crossing, hugely NEGATIVE where they don't,
+    never garbage-positive, with finite gradients."""
+    rts = jnp.linspace(1.2048, 1.2591, 12)
+    args = dict(boundary=jnp.float32(1.1097), ndt=jnp.float32(0.9472),
+                beta=jnp.float32(0.4842), drift=jnp.float32(-1.897))
+    lp = np.asarray(diffusion_logpdf(-rts, dc=jnp.float32(0.0343), **args))
+    assert np.all(np.isfinite(lp))
+    assert np.all(lp < 20.0)          # physically sensible density heights
+    assert np.max(lp) > -10.0         # ... and the window is plausible
+    # mismatched deterministic crossing: astronomically unlikely, not +garbage
+    lp2 = np.asarray(diffusion_logpdf(-rts, dc=jnp.float32(1e-4), **args))
+    assert np.all(np.isfinite(lp2)) and np.all(lp2 < -100.0)
+    # gradients stay finite on both sides of the needle
+    g = jax.grad(lambda d: jnp.sum(diffusion_logpdf(-rts, dc=d, **args)))
+    assert np.isfinite(float(g(jnp.float32(0.0343))))
+    assert np.isfinite(float(g(jnp.float32(1e-4))))
+
+
 def test_wfpt_series_agree_around_switch():
     """Small- and large-time series must agree to ~1e-5 relative in a wide
     band around the tt=0.35 crossover, for several start points."""
