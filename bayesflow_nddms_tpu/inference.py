@@ -283,6 +283,7 @@ def refit_plain_batch(spec, trainer, state, data, mask, log_n, indices,
                       max_depth: int = 8, chunk: int = 50,
                       checkpoint_path: Optional[str] = None,
                       amort_mean=None, amort_sd=None,
+                      init_draws=None, dense_mass: bool = True,
                       progress: bool = False) -> Dict[int, ExactRefit]:
     """Plain-coordinate (natural) exact refits, batched as one program.
 
@@ -292,8 +293,21 @@ def refit_plain_batch(spec, trainer, state, data, mask, log_n, indices,
     plain coordinates depend on nothing the flow got wrong. Both
     families ride the same batched ctx driver (flagship: natural-
     coordinate Rao-Blackwellized marginal; dcDDM: natural-coordinate
-    WFPT). Mass is diagonally preconditioned from the amortized moments
-    when given — per-chain diagonal ``init_inv_mass``.
+    WFPT).
+
+    Preconditioning (the part that decides whether these fits move at
+    all): the flagged tail contains NEEDLE posteriors — e.g. alpha -> 0
+    pins rt ~ ter, giving |d2 log p / dz_ter^2| ~ 1e8 against O(10) in
+    the other directions, a four-decade scale split the amortized SDs
+    get wrong by ~1e3 (that wrongness is what khat flagged) and that
+    freezes every chain under unit or amortized mass (measured,
+    ROUND3.md). With ``init_draws`` (the amortized draws, model space),
+    each dataset's chains start at its ``chains`` best draws by EXACT
+    log-posterior and the mass is seeded from the Hessian diagonal at
+    the best one (Laplace preconditioning) — the draws are in-support
+    by construction, so no optimizer or barrier handling is needed.
+    Without draws, falls back to amortized-moment mass and
+    posterior-scale inits.
     """
     from .diagnostics.convergence import diagnostic
     flagship = _family(spec)
@@ -322,9 +336,24 @@ def refit_plain_batch(spec, trainer, state, data, mask, log_n, indices,
         p = np.clip((x - lo) / (hi - lo), 1e-4, 1 - 1e-4)
         return np.log(p) - np.log1p(-p)
 
-    # per-dataset overdispersed natural-coordinate inits; ter starts
-    # strictly below each dataset's min RT (the WFPT |y| < ter guard is
-    # a barrier: a chain born above it would start at -inf)
+    # Per-dataset natural-coordinate inits; ter starts strictly below
+    # each dataset's min RT (the WFPT |y| < ter guard is a barrier).
+    # When amortized moments are available, chains start overdispersed
+    # at the POSTERIOR's own scale (mean ± 2 amortized SD): the flagged
+    # tail contains needle posteriors (tiny dc/alpha concentrates every
+    # RT within ~10 ms, |grad log p| ~ 1e6) where prior-range inits sit
+    # ~1e6 nats out and freeze every chain — measured on the dcDDM
+    # full-prior tail (ROUND3.md). The flow's mean is near the needle
+    # even where its shape is wrong (that is what khat flags).
+    def _theta_to_z(x):                                 # (..., dim)
+        cols = []
+        for j, b in enumerate(bounds):
+            if b is None:
+                cols.append(x[..., j])
+            else:
+                cols.append(_logit(x[..., j], *b))
+        return np.stack(cols, axis=-1)
+
     rng = np.random.default_rng(int(jax.random.randint(
         jax.random.fold_in(key, 0), (), 0, 2 ** 31 - 1)))
     q0s, masses = [], []
@@ -333,15 +362,103 @@ def refit_plain_batch(spec, trainer, state, data, mask, log_n, indices,
               else [(-2.0, 2.0), (0.8, 1.6), (0.3, 0.7), None,
                     (0.7, 1.4)])
     ter_j = 3
+    if init_draws is not None:
+        lp_many = jax.jit(jax.vmap(logprob, in_axes=(0, None)))
+        grad_f = jax.grad(logprob)
+
+        @jax.jit
+        def _ascend(z0, c):
+            # barrier-safe mode ascent: max-norm-normalized steps (the
+            # needle's 1e6:1 gradient disparity makes raw gradient steps
+            # useless), accept only finite improvements, adapt the step
+            def step(carry, _):
+                z, lr, best = carry
+                g = grad_f(z, c)
+                g = jnp.where(jnp.isfinite(g), g, 0.0)
+                prop = z + lr * g / (jnp.abs(g).max() + 1e-12)
+                lp_p = logprob(prop, c)
+                ok = jnp.isfinite(lp_p) & (lp_p > best)
+                return (jnp.where(ok, prop, z),
+                        jnp.where(ok, lr * 1.1, lr * 0.5),
+                        jnp.where(ok, lp_p, best)), None
+            (z, _, best), _ = jax.lax.scan(
+                step, (z0, jnp.float32(0.1), logprob(z0, c)), None,
+                length=400)
+            return z, best
+
+        grad_jit = jax.jit(grad_f)
+
+        def fd_hess_diag(zm, c_d):
+            # central differences of the FIRST-order gradient: second-order
+            # AD through the WFPT/logit guards returns NaN in every bounded
+            # coordinate (measured — jax.hessian silently degraded the
+            # Laplace mass to unit mass exactly where |grad| ~ 1e6), while
+            # d/dz of grad is robust at any curvature scale
+            zm = np.asarray(zm, np.float64)
+            out = np.empty(dim)
+            for j in range(dim):
+                h = 1e-3 * max(1.0, abs(zm[j]))
+                zp, zn = zm.copy(), zm.copy()
+                zp[j] += h
+                zn[j] -= h
+                gp = np.asarray(grad_jit(jnp.asarray(zp, jnp.float32),
+                                         c_d), np.float64)[j]
+                gn = np.asarray(grad_jit(jnp.asarray(zn, jnp.float32),
+                                         c_d), np.float64)[j]
+                out[j] = (gp - gn) / (2.0 * h)
+            return out
     for d in range(D):
         min_rt = float(np.abs(y_np[d][v_np[d]]).min()) \
             if v_np[d].any() else 1.0
+        c_d = jax.tree.map(lambda x: x[d], ctx)
+        if init_draws is not None:
+            z_all = _theta_to_z(np.asarray(init_draws[indices[d]],
+                                           np.float64))
+            lps = np.asarray(lp_many(jnp.asarray(z_all, jnp.float32),
+                                     c_d), np.float64)
+            lps = np.where(np.isfinite(lps), lps, -np.inf)
+            z0 = jnp.asarray(z_all[int(np.argmax(lps))], jnp.float32)
+            z_mode, _ = _ascend(z0, c_d)
+            hd = np.abs(fd_hess_diag(z_mode, c_d))
+            # needle directions are REAL (|hess| ~ 1e8 -> var ~ 1e-8)
+            # but flat directions are prior-bounded: in z space every
+            # bounded parameter's prior curvature is O(1) (logit scale)
+            # and drift's is 1/4 — an unclipped 1/|hess| there launched
+            # chains to z ~ 1e8 along data-flat directions (measured)
+            var_z = 1.0 / np.clip(np.where(np.isfinite(hd), hd, 1.0),
+                                  0.1, 1e10)
+            masses.append(var_z.astype(np.float32))
+            # chains start at the mode, jittered at the Laplace scale;
+            # any jitter that lands past the |y| < ter barrier (-inf)
+            # falls back to the mode itself
+            zm = np.asarray(z_mode, np.float64)
+            q0_d = zm + 0.5 * np.sqrt(var_z) \
+                * rng.standard_normal((chains, dim))
+            lp0 = np.asarray(lp_many(jnp.asarray(q0_d, jnp.float32),
+                                     c_d), np.float64)
+            q0_d = np.where(np.isfinite(lp0)[:, None], q0_d, zm)
+            q0s.append(q0_d.astype(np.float32))
+            continue
         cols = []
         for j, r in enumerate(ranges):
-            if j == ter_j:
+            if amort_mean is not None:
+                x = (amort_mean[indices[d], j]
+                     + 2.0 * amort_sd[indices[d], j]
+                     * rng.standard_normal(chains))
+                if bounds[j] is not None:
+                    lo, hi = bounds[j]
+                    w = hi - lo
+                    x = np.clip(x, lo + 1e-3 * w, hi - 1e-3 * w)
+            elif j == ter_j:
                 x = rng.uniform(0.05, 1.0, chains) * (min_rt / 2.0)
             else:
                 x = rng.uniform(*r, chains)
+            if j == ter_j:
+                # just below the barrier, not far below it: the needle
+                # posteriors (alpha -> 0 => rt ~ ter) concentrate ter
+                # right against min_rt, and an init 5% under it faces
+                # the full ~1e6 gradient wall
+                x = np.minimum(x, (1.0 - 1e-3) * min_rt)
             cols.append(x if bounds[j] is None
                         else _logit(x, *bounds[j]))
         q0s.append(np.stack(cols, axis=-1).astype(np.float32))
@@ -365,7 +482,7 @@ def refit_plain_batch(spec, trainer, state, data, mask, log_n, indices,
     res = N.run_chains_chunked(
         logprob, q0, jax.random.fold_in(key, 1), n_warmup=warmup,
         n_samples=samples, thin=1, max_depth=max_depth, chunk=chunk,
-        progress=progress, dense_mass=False, init_inv_mass=iv,
+        progress=progress, dense_mass=dense_mass, init_inv_mass=iv,
         checkpoint_path=checkpoint_path,
         ctx=NT.replicate_ctx(ctx, chains))
     z_all = np.asarray(res.samples).reshape(D, chains, samples, dim)
@@ -450,7 +567,7 @@ def certified_posterior(spec, trainer, state, data, mask, log_n, key, *,
                 spec, trainer, state, data, mask, log_n, plain_sel,
                 jax.random.fold_in(key, 2000), n_quad=n_quad,
                 amort_mean=cp.raw_mean, amort_sd=cp.raw_sd,
-                progress=progress,
+                init_draws=cp.draws, progress=progress,
                 checkpoint_path=(f"{nuts_checkpoint}.plain.npz"
                                  if nuts_checkpoint else None),
                 **(refit_opts or {})))

@@ -290,9 +290,15 @@ def _init_warmup_carry(q0, key, init_step_size, dim, dense: bool,
                 if dense else jnp.ones(batch_shape + (dim,)))
     else:
         v = jnp.asarray(init_inv_mass, jnp.float32)
-        mass = jnp.broadcast_to(jnp.diag(v) if dense else v,
-                                batch_shape + ((dim, dim) if dense
-                                               else (dim,))).copy()
+        if dense:
+            # (dim,) or per-chain (chains, dim) diagonal seeds a dense
+            # mass: the windows estimate the full covariance from there
+            diag = (jax.vmap(jnp.diag)(v) if v.ndim == 2
+                    else jnp.diag(v))
+            mass = jnp.broadcast_to(diag,
+                                    batch_shape + (dim, dim)).copy()
+        else:
+            mass = jnp.broadcast_to(v, batch_shape + (dim,)).copy()
     return _WarmupCarry(
         q=q0, key=key,
         log_eps=full(jnp.log(init_step_size)),
@@ -527,6 +533,25 @@ def _ckpt_write(path: str, payload: dict) -> None:
     os.replace(path + ".tmp.npz", path)
 
 
+def _ckpt_digest(*arrays) -> int:
+    """Order-sensitive content digest of initial-state arrays (q0, mass,
+    ctx leaves) for the checkpoint fingerprint. Without it a resumed run
+    silently ignores CHANGED inits/preconditioning/data of the same shape
+    — measured failure: an initialization fix appeared to have no effect
+    because every rerun resumed the stale chains (ROUND3.md)."""
+    import zlib
+    crc = 0
+    for a in arrays:
+        if a is None:
+            crc = zlib.crc32(b"\x00none", crc)
+            continue
+        leaves = jax.tree.leaves(a)
+        for leaf in leaves:
+            buf = np.ascontiguousarray(np.asarray(leaf))
+            crc = zlib.crc32(buf.tobytes(), crc)
+    return int(np.int64(np.uint32(crc)))
+
+
 def _ckpt_read(path, fingerprint: np.ndarray):
     """Load a chunk-state checkpoint if present and produced by an
     identical run configuration; a mismatch warns and starts fresh."""
@@ -610,7 +635,9 @@ def run_chains_chunked(logprob_fn, q0s: Array, key: Array,
                          f"{mesh.devices.size} devices")
 
     fingerprint = np.asarray([n_chains, dim, n_warmup, n_samples, thin,
-                              max_depth, int(dense_mass)], np.int64)
+                              max_depth, int(dense_mass),
+                              _ckpt_digest(q0s, init_inv_mass, ctx)],
+                             np.int64)
     ck = _ckpt_read(checkpoint_path, fingerprint)
     warmup_done = 0
     resumed_sampling = None
@@ -838,7 +865,9 @@ def run_chains_tempered(logprob_fn, q0s: Array, key: Array,
 
     fingerprint = np.asarray([T, C, dim, n_warmup, n_samples, thin,
                               max_depth, int(dense_mass),
-                              int(round(beta_min * 1e6))], np.int64)
+                              int(round(beta_min * 1e6)),
+                              _ckpt_digest(q0_full, init_inv_mass)],
+                             np.int64)
     ck = _ckpt_read(checkpoint_path, fingerprint)
     warmup_done = 0
     resumed_sampling = None

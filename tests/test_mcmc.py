@@ -397,6 +397,20 @@ def test_nuts_checkpoint_resume_bit_identical(tmp_path):
                                    checkpoint_path=ckpt)
     assert np.asarray(res.samples).shape[1] == 20
 
+    # ... and so is one from different INITIAL STATE of the same shape:
+    # changed q0 or changed preconditioning must invalidate the checkpoint
+    # (a same-shape resume once silently ignored an initialization fix —
+    # the content digest in the fingerprint catches it)
+    ckpt2 = str(tmp_path / "nuts_content.npz")
+    N.run_chains_chunked(logp, q0, key, checkpoint_path=ckpt2, **kw)
+    with pytest.warns(UserWarning, match="different run configuration"):
+        N.run_chains_chunked(logp, q0 + 0.1, key, checkpoint_path=ckpt2,
+                             **kw)
+    N.run_chains_chunked(logp, q0, key, checkpoint_path=ckpt2, **kw)
+    with pytest.warns(UserWarning, match="different run configuration"):
+        N.run_chains_chunked(logp, q0, key, checkpoint_path=ckpt2,
+                             init_inv_mass=jnp.full((2,), 0.5), **kw)
+
 
 @pytest.mark.slow
 def test_ridge_parameterization_same_posterior():
