@@ -145,15 +145,26 @@ def test_neutra_density_identity_vs_natural():
         return jnp.stack(cols)
 
     diffs = []
-    for s in range(3):
+    min_rt = float(np.abs(y[valid]).min())
+    for s in range(200):
+        if len(diffs) == 3:
+            break
         eps = 0.6 * jax.random.normal(jax.random.PRNGKey(100 + s), (7,))
         th = push(eps)
+        # Skip ill-conditioned points: with ter within ~50 ms of the
+        # fastest trial, |d loglik / d ter| reaches ~1e5 (the decision
+        # time -> 0 wall), so the two paths' float32 rounding of theta
+        # alone produces O(1e-2) log-density gaps that say nothing about
+        # the identity under test.
+        if min_rt - float(th[3]) < 0.05:
+            continue
         a = (logprob_n(eps)
              - jnp.linalg.slogdet(jax.jacfwd(push)(eps))[1])
         z = to_nat(th)
         b = (logprob_m(z)
              - jnp.linalg.slogdet(jax.jacfwd(from_nat)(z))[1])
         diffs.append(float(a - b))
+    assert len(diffs) == 3, "could not find 3 well-conditioned points"
     np.testing.assert_allclose(diffs, 0.0, atol=5e-3)
 
 
@@ -206,9 +217,17 @@ def test_dcddm_neutra_density_identity_vs_natural():
                           logit(dc, "varsigma")])
 
     diffs = []
-    for s in range(3):
+    min_rt = float(np.abs(np.asarray(y)).min())
+    for s in range(200):
+        if len(diffs) == 3:
+            break
         eps = 0.6 * jax.random.normal(jax.random.PRNGKey(200 + s), (5,))
         th = push(eps)
+        # Skip ill-conditioned points near the ter -> min rt wall (see
+        # the flagship identity test): |d loglik / d ter| ~ 1e5 there,
+        # so float32 theta rounding alone breaks the comparison.
+        if min_rt - float(th[3]) < 0.05:
+            continue
         a = (logprob_n(eps)
              - jnp.linalg.slogdet(jax.jacfwd(push)(eps))[1])
         z = to_nat(th)
@@ -217,6 +236,7 @@ def test_dcddm_neutra_density_identity_vs_natural():
         diffs.append(float(a - b))
         g = jax.grad(logprob_n)(eps)
         assert np.all(np.isfinite(np.asarray(g)))
+    assert len(diffs) == 3, "could not find 3 well-conditioned points"
     np.testing.assert_allclose(diffs, 0.0, atol=5e-3)
 
 
