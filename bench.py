@@ -25,18 +25,29 @@ def _tunnel_alive(timeout_s: float = 120.0) -> bool:
 
     The tunneled TPU relay can die permanently mid-session; every client
     afterwards hangs forever inside ``jax.devices()`` (it is not
-    restartable from inside the VM). The probe inherits this process's
-    exact environment, so it exercises the same plugin path the bench
-    would; on failure we fall back to CPU so the bench always emits its
-    JSON line instead of hanging the driver.
+    restartable from inside the VM). A second, measured failure mode is a
+    HALF-dead tunnel: device enumeration succeeds but every execution
+    hangs — so the probe must actually run a computation, not just list
+    devices. The probe inherits this process's exact environment, so it
+    exercises the same plugin path the bench would; on failure we fall
+    back to CPU so the bench always emits its JSON line instead of
+    hanging the driver. The tunnel also SERIALIZES clients — another
+    client's multi-minute compile makes a healthy tunnel time a probe
+    out — so try twice before concluding death (measured 2026-08-19:
+    two probes timed out, minutes later the bench ran on-chip).
     """
-    try:
-        r = subprocess.run([sys.executable, "-c",
-                            "import jax; jax.devices()"],
-                           timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for _ in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; jax.devices(); "
+                 "jnp.ones((8, 128)).sum().block_until_ready()"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 _TUNNEL_OK = _tunnel_alive()
