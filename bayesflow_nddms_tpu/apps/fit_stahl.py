@@ -142,6 +142,10 @@ def main(argv=None):
     p.add_argument("--refit-chains", type=int, default=8)
     p.add_argument("--refit-max-depth", type=int, default=8)
     p.add_argument("--refit-chunk", type=int, default=50)
+    p.add_argument("--khat-neutra-max", type=float, default=3.0,
+                   help="khat band edge for refit routing: below -> "
+                        "NeuTra (flow coordinates), at/above -> plain "
+                        "natural coordinates (measured bands, ROUND3.md)")
     p.add_argument("--nuts-checkpoint", default=None,
                    help=".npz prefix for chunk-level refit NUTS state "
                         "checkpoints (resumable)")
@@ -258,28 +262,55 @@ def main(argv=None):
                        deb_sd=deb_sd, logw=logw.astype(np.float32))
 
         if args.refit_flagged > 0 and (~ok).any():
-            # Exact NeuTra re-fits of the worst uncertified participants:
-            # real data has no truth, so the refit IS the ground truth the
-            # amortized fit is judged against (mcmc/neutra.py; the same
-            # route the simulated-data studies validated end-to-end,
-            # agreement_flagship_refit*_r3). khat = inf sorts first.
-            from ..inference import refit_exact_batch
+            # Exact re-fits of the worst uncertified participants: real
+            # data has no truth, so the refit IS the ground truth the
+            # amortized fit is judged against. Routing follows the
+            # measured khat bands (ROUND3.md, same as
+            # inference.certified_posterior): khat < 3 -> NeuTra NUTS in
+            # the flow's coordinates (preconditions its own moderate
+            # errors); saturated/extreme khat -> PLAIN natural
+            # coordinates (there the flow transport itself is broken —
+            # measured Rhat 27/87 on exactly such participants — and
+            # NeuTra inherits the breakage). khat = inf sorts first.
+            from ..inference import refit_exact_batch, refit_plain_batch
             flagged = np.nonzero(~ok)[0]
             sel = flagged[np.argsort(-khat[flagged])][:args.refit_flagged]
             key = jax.random.PRNGKey(17)
-            print(f"refitting participants "
-                  f"{[str(parts[i]) for i in sel]} (khat "
-                  f"{np.round(khat[sel], 2).tolist()}): batched NeuTra "
-                  f"NUTS, {args.refit_chains} chains each, one compiled "
-                  f"program", flush=True)
-            ck = (f"{args.nuts_checkpoint}.refits.npz"
-                  if args.nuts_checkpoint else None)
-            refit_map = refit_exact_batch(
-                spec, trainer, state, data, mask, log_n, sel, key,
-                n_quad=args.n_quad, warmup=args.refit_warmup,
-                samples=args.refit_samples, chains=args.refit_chains,
-                max_depth=args.refit_max_depth, chunk=args.refit_chunk,
-                checkpoint_path=ck, progress=True)
+            neutra_sel = [int(i) for i in sel
+                          if khat[i] < args.khat_neutra_max]
+            plain_sel = [int(i) for i in sel
+                         if khat[i] >= args.khat_neutra_max]
+            common = dict(n_quad=args.n_quad, warmup=args.refit_warmup,
+                          samples=args.refit_samples,
+                          chains=args.refit_chains,
+                          max_depth=args.refit_max_depth,
+                          chunk=args.refit_chunk, progress=True)
+            refit_map = {}
+            if neutra_sel:
+                print(f"refitting participants "
+                      f"{[str(parts[i]) for i in neutra_sel]} (khat "
+                      f"{np.round(khat[neutra_sel], 2).tolist()}): "
+                      f"batched NeuTra NUTS, {args.refit_chains} chains "
+                      f"each, one compiled program", flush=True)
+                ck = (f"{args.nuts_checkpoint}.neutra.npz"
+                      if args.nuts_checkpoint else None)
+                refit_map.update(refit_exact_batch(
+                    spec, trainer, state, data, mask, log_n, neutra_sel,
+                    key, checkpoint_path=ck, **common))
+            if plain_sel:
+                print(f"refitting participants "
+                      f"{[str(parts[i]) for i in plain_sel]} (khat "
+                      f"{np.round(khat[plain_sel], 2).tolist()} >= "
+                      f"{args.khat_neutra_max}, flow transport unusable): "
+                      f"batched plain-coordinate NUTS (Laplace-"
+                      f"preconditioned)", flush=True)
+                ck = (f"{args.nuts_checkpoint}.plain.npz"
+                      if args.nuts_checkpoint else None)
+                refit_map.update(refit_plain_batch(
+                    spec, trainer, state, data, mask, log_n, plain_sel,
+                    jax.random.fold_in(key, 1),
+                    amort_mean=post.mean(axis=1), amort_sd=post.std(axis=1),
+                    init_draws=post, checkpoint_path=ck, **common))
             refits = []
             for i in map(int, sel):
                 r = refit_map[i]
@@ -298,6 +329,7 @@ def main(argv=None):
                     "participant": pid,
                     "n_trials": n_i,
                     "khat": round(float(khat[i]), 3),
+                    "method": r.method,
                     "rhat_max": round(r.rhat_max, 3),
                     "neff_min": round(r.neff_min, 1),
                     "exact_mean": {n: round(float(ex_mean[j]), 4)
