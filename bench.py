@@ -124,7 +124,7 @@ def main():
     }
     if not _TUNNEL_OK:
         out["note"] = ("TPU tunnel unreachable; CPU fallback. Last "
-                       "on-chip measurement: 1.25e8 best / 1.17e8 median "
+                       "on-chip measurement: 1.31e8 best / 1.30e8 median "
                        "trials/s/chip (docs/DESIGN.md s11)")
     print(json.dumps(out))
 
