@@ -272,14 +272,12 @@ def main(argv=None):
             # coordinates (there the flow transport itself is broken —
             # measured Rhat 27/87 on exactly such participants — and
             # NeuTra inherits the breakage). khat = inf sorts first.
-            from ..inference import refit_exact_batch, refit_plain_batch
+            from ..inference import (refit_exact_batch, refit_plain_batch,
+                                     split_refits_by_khat)
             flagged = np.nonzero(~ok)[0]
-            sel = flagged[np.argsort(-khat[flagged])][:args.refit_flagged]
+            sel, neutra_sel, plain_sel = split_refits_by_khat(
+                khat, flagged, args.refit_flagged, args.khat_neutra_max)
             key = jax.random.PRNGKey(17)
-            neutra_sel = [int(i) for i in sel
-                          if khat[i] < args.khat_neutra_max]
-            plain_sel = [int(i) for i in sel
-                         if khat[i] >= args.khat_neutra_max]
             common = dict(n_quad=args.n_quad, warmup=args.refit_warmup,
                           samples=args.refit_samples,
                           chains=args.refit_chains,

@@ -160,6 +160,27 @@ class CertifiedPosterior:
         return out
 
 
+def split_refits_by_khat(khat, flagged, k: int, band: float):
+    """Pick the ``k`` worst-khat flagged indices and split them into the
+    refit tiers along the measured khat bands (ROUND3.md): khat below
+    ``band`` -> NeuTra NUTS in the flow's coordinates (the flow
+    preconditions its own moderate errors); at/above ``band``
+    (saturated/extreme, including inf, which sorts first) -> plain
+    natural coordinates, because there the flow transport itself is
+    broken and NeuTra inherits the breakage (measured Rhat 27-6.5e4).
+
+    Returns ``(sel, neutra_sel, plain_sel)`` with ``sel`` in worst-first
+    order and the two tiers as plain ``int`` lists."""
+    khat = np.asarray(khat)
+    flagged = np.asarray(flagged)
+    order = np.argsort(-np.nan_to_num(khat[flagged], nan=np.inf,
+                                      posinf=np.inf))
+    sel = flagged[order][:k]
+    neutra_sel = [int(i) for i in sel if khat[i] < band]
+    plain_sel = [int(i) for i in sel if not khat[i] < band]
+    return sel, neutra_sel, plain_sel
+
+
 def _family(spec) -> bool:
     """True for the flagship, False for the dcDDM; raises otherwise."""
     if spec.name == FLAGSHIP:
@@ -542,9 +563,8 @@ def certified_posterior(spec, trainer, state, data, mask, log_n, key, *,
         khat_threshold=khat_threshold)
     flagged = np.nonzero(~cp.certified)[0]
     if refit_flagged > 0 and flagged.size:
-        sel = flagged[np.argsort(-khat[flagged])][:refit_flagged]
-        neutra_sel = [int(i) for i in sel if khat[i] < khat_neutra_max]
-        plain_sel = [int(i) for i in sel if khat[i] >= khat_neutra_max]
+        _, neutra_sel, plain_sel = split_refits_by_khat(
+            khat, flagged, refit_flagged, khat_neutra_max)
         if neutra_sel:
             if progress:
                 print(f"refitting datasets {neutra_sel} (khat "

@@ -85,3 +85,20 @@ def test_certified_posterior_refit_flagged_dcddm():
     assert cp.source[i] == "refit"
     np.testing.assert_allclose(cp.mean()[i], r.mean)
     np.testing.assert_allclose(cp.sd()[i], r.sd)
+
+
+def test_split_refits_by_khat_bands():
+    """Routing follows the measured khat bands: worst-first selection,
+    khat < band -> NeuTra tier, saturated/inf/NaN -> plain tier."""
+    khat = np.array([0.2, 1.5, 6.0, np.inf, 0.9, np.nan, 2.9])
+    flagged = np.array([1, 2, 3, 4, 5, 6])       # index 0 is certified
+    sel, neutra, plain = CI.split_refits_by_khat(khat, flagged, 4, 3.0)
+    # worst-first: inf and NaN (both "flow transport broken") lead
+    assert set(sel[:2].tolist()) == {3, 5}
+    assert set(sel.tolist()) == {3, 5, 2, 6}
+    assert neutra == [6]                          # 2.9 < 3.0
+    assert sorted(plain) == [2, 3, 5]             # 6.0, inf, NaN
+    # k larger than the flagged set: everything routed, no error
+    sel2, neutra2, plain2 = CI.split_refits_by_khat(khat, flagged, 99, 3.0)
+    assert len(sel2) == 6 and len(neutra2) + len(plain2) == 6
+    assert sorted(neutra2) == [1, 4, 6]
