@@ -142,6 +142,12 @@ def main(argv=None):
     p.add_argument("--refit-chains", type=int, default=8)
     p.add_argument("--refit-max-depth", type=int, default=8)
     p.add_argument("--refit-chunk", type=int, default=50)
+    p.add_argument("--refit-participants", default=None, metavar="IDS",
+                   help="comma-separated participant ids to exactly "
+                        "re-fit in addition to the --refit-flagged "
+                        "worst (khat near saturation is draw-dependent, "
+                        "so naming pins a participant across runs); "
+                        "each routes by its own khat band")
     p.add_argument("--khat-neutra-max", type=float, default=3.0,
                    help="khat band edge for refit routing: below -> "
                         "NeuTra (flow coordinates), at/above -> plain "
@@ -160,9 +166,10 @@ def main(argv=None):
     p.add_argument("--json-out", default=None)
     p.add_argument("--no-plots", action="store_true")
     args = p.parse_args(argv)
-    if args.refit_flagged and not args.psis:
-        raise SystemExit("--refit-flagged requires --psis (the khat "
-                         "certification decides who gets re-fit)")
+    if (args.refit_flagged or args.refit_participants) and not args.psis:
+        raise SystemExit("--refit-flagged/--refit-participants require "
+                         "--psis (the khat certification decides who "
+                         "gets re-fit, and how)")
     if args.out and os.path.exists(args.out):
         # artifact-existence resume (alpha_not_scaled.py:52,230-256): an
         # already-produced output means this expensive step is done
@@ -261,7 +268,8 @@ def main(argv=None):
         out_npz.update(khat=khat, weight_ess=ess, deb_mean=deb_mean,
                        deb_sd=deb_sd, logw=logw.astype(np.float32))
 
-        if args.refit_flagged > 0 and (~ok).any():
+        if (args.refit_flagged > 0 and (~ok).any()) \
+                or args.refit_participants:
             # Exact re-fits of the worst uncertified participants: real
             # data has no truth, so the refit IS the ground truth the
             # amortized fit is judged against. Routing follows the
@@ -275,8 +283,27 @@ def main(argv=None):
             from ..inference import (refit_exact_batch, refit_plain_batch,
                                      split_refits_by_khat)
             flagged = np.nonzero(~ok)[0]
-            sel, neutra_sel, plain_sel = split_refits_by_khat(
+            sel, _, _ = split_refits_by_khat(
                 khat, flagged, args.refit_flagged, args.khat_neutra_max)
+            if args.refit_participants:
+                # explicitly named participants join the refit set
+                # (khat near its ~6 saturation point is draw-dependent,
+                # so a participant flagged in one run can rank lower in
+                # the next; naming it pins the refit)
+                named = {pid.strip()
+                         for pid in args.refit_participants.split(",")}
+                unknown = named - {str(p) for p in parts}
+                if unknown:
+                    raise SystemExit(f"--refit-participants: unknown "
+                                     f"participant ids {sorted(unknown)}")
+                idx = np.asarray([i for i, p in enumerate(parts)
+                                  if str(p) in named], np.int64)
+                sel = np.unique(np.concatenate(
+                    [np.asarray(sel, np.int64), idx]))
+            # (re-)split the final set so every member routes by its
+            # own khat band; k = |sel| keeps everyone
+            sel, neutra_sel, plain_sel = split_refits_by_khat(
+                khat, sel, len(sel), args.khat_neutra_max)
             key = jax.random.PRNGKey(17)
             common = dict(n_quad=args.n_quad, warmup=args.refit_warmup,
                           samples=args.refit_samples,
