@@ -301,9 +301,12 @@ def main(argv=None):
                 sel = np.unique(np.concatenate(
                     [np.asarray(sel, np.int64), idx]))
             # (re-)split the final set so every member routes by its
-            # own khat band; k = |sel| keeps everyone
+            # own khat band (boundary-clamped draws force the plain
+            # tier — clamp activation proves the transport map is
+            # broken for that participant); k = |sel| keeps everyone
             sel, neutra_sel, plain_sel = split_refits_by_khat(
-                khat, sel, len(sel), args.khat_neutra_max)
+                khat, sel, len(sel), args.khat_neutra_max,
+                n_degenerate=n_degenerate)
             key = jax.random.PRNGKey(17)
             common = dict(n_quad=args.n_quad, warmup=args.refit_warmup,
                           samples=args.refit_samples,

@@ -160,14 +160,25 @@ class CertifiedPosterior:
         return out
 
 
-def split_refits_by_khat(khat, flagged, k: int, band: float):
+def split_refits_by_khat(khat, flagged, k: int, band: float,
+                         n_degenerate=None):
     """Pick the ``k`` worst-khat flagged indices and split them into the
     refit tiers along the measured khat bands (ROUND3.md): khat below
     ``band`` -> NeuTra NUTS in the flow's coordinates (the flow
     preconditions its own moderate errors); at/above ``band``
-    (saturated/extreme, including inf, which sorts first) -> plain
+    (saturated/extreme, including inf/NaN, which sort first) -> plain
     natural coordinates, because there the flow transport itself is
     broken and NeuTra inherits the breakage (measured Rhat 27-6.5e4).
+
+    ``n_degenerate`` (per-dataset count of boundary-clamped draws,
+    ``importance.sanitize_logw``) overrides the band where given: ANY
+    clamped draw proves the transport map pushed mass out of the
+    posterior's support for that dataset, so it routes plain no matter
+    how tame its khat. This signal is sharper than khat magnitude — the
+    khat-regularization fix moved the one clamp-affected Stahl
+    participant from 6.0 to 0.94 while every other khat moved by ~0.003,
+    yet NeuTra still fails there (measured Rhat 27) because the failure
+    is the clamp, not the weight tail.
 
     Returns ``(sel, neutra_sel, plain_sel)`` with ``sel`` in worst-first
     order and the two tiers as plain ``int`` lists."""
@@ -176,8 +187,13 @@ def split_refits_by_khat(khat, flagged, k: int, band: float):
     order = np.argsort(-np.nan_to_num(khat[flagged], nan=np.inf,
                                       posinf=np.inf))
     sel = flagged[order][:k]
-    neutra_sel = [int(i) for i in sel if khat[i] < band]
-    plain_sel = [int(i) for i in sel if not khat[i] < band]
+
+    def _plain(i):
+        if n_degenerate is not None and int(n_degenerate[i]) > 0:
+            return True
+        return not khat[i] < band
+    neutra_sel = [int(i) for i in sel if not _plain(i)]
+    plain_sel = [int(i) for i in sel if _plain(i)]
     return sel, neutra_sel, plain_sel
 
 
@@ -564,7 +580,8 @@ def certified_posterior(spec, trainer, state, data, mask, log_n, key, *,
     flagged = np.nonzero(~cp.certified)[0]
     if refit_flagged > 0 and flagged.size:
         _, neutra_sel, plain_sel = split_refits_by_khat(
-            khat, flagged, refit_flagged, khat_neutra_max)
+            khat, flagged, refit_flagged, khat_neutra_max,
+            n_degenerate=cp.n_degenerate)
         if neutra_sel:
             if progress:
                 print(f"refitting datasets {neutra_sel} (khat "

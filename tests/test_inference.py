@@ -102,3 +102,17 @@ def test_split_refits_by_khat_bands():
     sel2, neutra2, plain2 = CI.split_refits_by_khat(khat, flagged, 99, 3.0)
     assert len(sel2) == 6 and len(neutra2) + len(plain2) == 6
     assert sorted(neutra2) == [1, 4, 6]
+
+
+def test_split_refits_degenerate_draws_force_plain():
+    """Boundary-clamped (degenerate) draws prove the transport map is
+    broken for that dataset, so it routes plain even at tame khat."""
+    khat = np.array([0.2, 0.94, 1.5])
+    flagged = np.array([1, 2])
+    ndeg = np.array([0, 8, 0])
+    sel, neutra, plain = CI.split_refits_by_khat(
+        khat, flagged, 2, 3.0, n_degenerate=ndeg)
+    assert neutra == [2] and plain == [1]
+    # without the signal, both land in the NeuTra band
+    _, neutra2, plain2 = CI.split_refits_by_khat(khat, flagged, 2, 3.0)
+    assert sorted(neutra2) == [1, 2] and plain2 == []
