@@ -142,6 +142,12 @@ def main(argv=None):
     p.add_argument("--refit-chains", type=int, default=8)
     p.add_argument("--refit-max-depth", type=int, default=8)
     p.add_argument("--refit-chunk", type=int, default=50)
+    p.add_argument("--rhat-escalate", type=float, default=1.1,
+                   help="a NeuTra refit whose max Rhat exceeds this "
+                        "re-fits in plain coordinates (stuck chains are "
+                        "batch-composition-dependent; the plain tier's "
+                        "Laplace preconditioning has converged on every "
+                        "real-data participant tried)")
     p.add_argument("--refit-participants", default=None, metavar="IDS",
                    help="comma-separated participant ids to exactly "
                         "re-fit in addition to the --refit-flagged "
@@ -325,11 +331,26 @@ def main(argv=None):
                 refit_map.update(refit_exact_batch(
                     spec, trainer, state, data, mask, log_n, neutra_sel,
                     key, checkpoint_path=ck, **common))
+            # NeuTra refits that failed to converge escalate to plain
+            # coordinates (a stuck chain is batch-composition-dependent:
+            # the same participant measured Rhat 1.001 in one batch and
+            # 134 in another; the Laplace-preconditioned plain refit
+            # converged on every real-data participant tried)
+            escalate = [i for i, r in refit_map.items()
+                        if r.method == "neutra"
+                        and r.rhat_max > args.rhat_escalate]
+            esc_rhat = {i: refit_map[i].rhat_max for i in escalate}
+            if escalate:
+                print(f"escalating participants "
+                      f"{[str(parts[i]) for i in escalate]} (NeuTra rhat "
+                      f"{[round(esc_rhat[i], 2) for i in escalate]}"
+                      f" > {args.rhat_escalate}) to plain coordinates",
+                      flush=True)
+                plain_sel = plain_sel + escalate
             if plain_sel:
                 print(f"refitting participants "
                       f"{[str(parts[i]) for i in plain_sel]} (khat "
-                      f"{np.round(khat[plain_sel], 2).tolist()} >= "
-                      f"{args.khat_neutra_max}, flow transport unusable): "
+                      f"{np.round(khat[plain_sel], 2).tolist()}): "
                       f"batched plain-coordinate NUTS (Laplace-"
                       f"preconditioned)", flush=True)
                 ck = (f"{args.nuts_checkpoint}.plain.npz"
@@ -339,6 +360,8 @@ def main(argv=None):
                     jax.random.fold_in(key, 1),
                     amort_mean=post.mean(axis=1), amort_sd=post.std(axis=1),
                     init_draws=post, checkpoint_path=ck, **common))
+                for i, r0 in esc_rhat.items():
+                    refit_map[i].escalated_from_rhat = r0
             refits = []
             for i in map(int, sel):
                 r = refit_map[i]
@@ -358,6 +381,9 @@ def main(argv=None):
                     "n_trials": n_i,
                     "khat": round(float(khat[i]), 3),
                     "method": r.method,
+                    **({"escalated_from_neutra_rhat":
+                        round(r.escalated_from_rhat, 3)}
+                       if r.escalated_from_rhat is not None else {}),
                     "rhat_max": round(r.rhat_max, 3),
                     "neff_min": round(r.neff_min, 1),
                     "exact_mean": {n: round(float(ex_mean[j]), 4)

@@ -109,6 +109,7 @@ class ExactRefit:
     rhat_max: float
     neff_min: float
     method: str = "neutra"       # "neutra" | "plain"
+    escalated_from_rhat: Optional[float] = None  # failed NeuTra Rhat
 
 
 @dataclass
@@ -545,6 +546,7 @@ def certified_posterior(spec, trainer, state, data, mask, log_n, key, *,
                         draw_chunk: int = 64, khat_threshold: float = 0.7,
                         refit_flagged: int = 0, refit_opts: dict = None,
                         khat_neutra_max: float = 3.0,
+                        rhat_escalate: float = 1.1,
                         nuts_checkpoint: Optional[str] = None,
                         progress: bool = False) -> CertifiedPosterior:
     """Fit every dataset amortized, certify each fit with PSIS, debias
@@ -594,12 +596,26 @@ def certified_posterior(spec, trainer, state, data, mask, log_n, key, *,
                 checkpoint_path=(f"{nuts_checkpoint}.neutra.npz"
                                  if nuts_checkpoint else None),
                 **(refit_opts or {})))
+        # NeuTra refits that failed to converge (a stuck chain is batch-
+        # composition-dependent — measured on real data: the same
+        # participant drew Rhat 1.001 in one 4-dataset batch and 134 in
+        # another) escalate to the plain tier, where Laplace
+        # preconditioning converged on every real-data refit tried
+        escalate = [i for i, r in cp.refits.items()
+                    if r.method == "neutra"
+                    and r.rhat_max > rhat_escalate]
+        esc_rhat = {i: cp.refits[i].rhat_max for i in escalate}
+        if escalate and progress:
+            print(f"escalating datasets {escalate} (NeuTra rhat "
+                  f"{[round(esc_rhat[i], 2) for i in escalate]}"
+                  f" > {rhat_escalate}) to plain coordinates", flush=True)
+        plain_sel = plain_sel + escalate
         if plain_sel:
             if progress:
                 print(f"refitting datasets {plain_sel} (khat "
-                      f"{np.round(khat[plain_sel], 2).tolist()} >= "
-                      f"{khat_neutra_max}, flow transport unusable): "
-                      f"batched plain-coordinate NUTS", flush=True)
+                      f"{np.round(khat[plain_sel], 2).tolist()}): "
+                      f"batched plain-coordinate NUTS "
+                      f"(Laplace-preconditioned)", flush=True)
             cp.refits.update(refit_plain_batch(
                 spec, trainer, state, data, mask, log_n, plain_sel,
                 jax.random.fold_in(key, 2000), n_quad=n_quad,
@@ -608,4 +624,6 @@ def certified_posterior(spec, trainer, state, data, mask, log_n, key, *,
                 checkpoint_path=(f"{nuts_checkpoint}.plain.npz"
                                  if nuts_checkpoint else None),
                 **(refit_opts or {})))
+            for i, r0 in esc_rhat.items():
+                cp.refits[i].escalated_from_rhat = r0
     return cp

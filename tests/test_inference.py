@@ -74,6 +74,10 @@ def test_certified_posterior_refit_flagged_dcddm():
     cp = CI.certified_posterior(
         spec, trainer, state, data, mask, log_n, jax.random.PRNGKey(3),
         draws=16, draw_chunk=16, refit_flagged=1,
+        # the deliberately tiny NUTS budget cannot converge, so disable
+        # rhat-based escalation to the plain tier (tested on real data;
+        # here the point is the NeuTra routing itself)
+        rhat_escalate=float("inf"),
         refit_opts=dict(warmup=10, samples=6, chains=2, max_depth=3,
                         chunk=8))
     # untrained flow at 16 draws: at least one dataset must be flagged
