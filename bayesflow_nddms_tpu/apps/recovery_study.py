@@ -21,7 +21,8 @@ import os
 import jax
 
 from ..diagnostics import plots
-from ..diagnostics.recovery import (run_recovery_study,
+from ..diagnostics.recovery import (contraction_identity,
+                                    run_recovery_study,
                                     run_recovery_study_streaming, sbc_ranks,
                                     sbc_interval_coverage,
                                     sbc_uniformity_pvalue)
@@ -79,6 +80,7 @@ def main(argv=None):
             workdir=args.workdir,
             fingerprint_extra={"ckpt_step": int(state.step)})
         ranks, post_mean = study.ranks, study.post_mean
+        post_sd = study.post_sd
         sample_subset = study.sample_subset
         true_subset = study.true_params[:len(sample_subset)] \
             if sample_subset is not None else None
@@ -89,6 +91,7 @@ def main(argv=None):
             n_draws=args.draws)
         ranks = sbc_ranks(study.true_params, study.param_samples)
         post_mean = study.param_samples.mean(axis=1)
+        post_sd = study.param_samples.std(axis=1)
         sample_subset = study.param_samples[:500]
         true_subset = study.true_params[:500]
     sbc_p = sbc_uniformity_pvalue(ranks, args.draws)
@@ -107,6 +110,9 @@ def main(argv=None):
             n: {"50": float(cov[0, i]), "90": float(cov[1, i]),
                 "95": float(cov[2, i])} for i, n in enumerate(names)},
         "mean_trials": float(study.n_trials.mean()),
+        # posterior-bound vs estimator-bound attribution of each rho
+        "contraction": contraction_identity(
+            study.true_params, post_mean, post_sd, names),
     }
     print(json.dumps(result, indent=2))
     if args.out:

@@ -202,6 +202,53 @@ def run_recovery_study_streaming(
                           metrics, subset)
 
 
+def contraction_identity(true_params: np.ndarray, post_mean: np.ndarray,
+                         post_sd: np.ndarray, param_names=None
+                         ) -> Dict[str, dict]:
+    """Attribute low recovery rho: posterior-bound vs estimator-bound.
+
+    For a CALIBRATED posterior the law of total (co)variance pins the
+    recovery correlation to the amount of posterior contraction:
+    ``Var(E[theta|y]) = Var(theta) - E[Var(theta|y)]`` and
+    ``Cov(theta, E[theta|y]) = Var(E[theta|y])``, hence
+
+        rho(theta, post_mean) = sqrt(1 - E[post var] / prior var).
+
+    That bound is a property of the MODEL (how much the data identify
+    the parameter), not of the estimator: a weakly identified
+    trial-level noise scale cannot score high rho no matter how good
+    the net is. Measured rho ~= bound  => the net is posterior-bound
+    (it extracts everything the likelihood offers); measured rho well
+    below the bound => the net adds its own noise (estimator-bound).
+    SBC tests calibration separately, so together the two checks split
+    the attribution. The reference's quality gate is the recovery-plot
+    rho alone (pyhddmjagsutils.py:608-623), which conflates the two.
+
+    Returns per parameter: prior_sd (from the truths, which are prior
+    draws), rms posterior sd, the calibrated-rho bound, measured rho,
+    and their ratio (the efficiency of the net at that parameter).
+    """
+    theta = np.asarray(true_params, np.float64)     # (T, P)
+    mean = np.asarray(post_mean, np.float64)        # (T, P)
+    sd = np.asarray(post_sd, np.float64)            # (T, P)
+    P = theta.shape[1]
+    names = param_names or [f"p{i}" for i in range(P)]
+    out = {}
+    for i, n in enumerate(names):
+        prior_var = theta[:, i].var()
+        e_post_var = float((sd[:, i] ** 2).mean())
+        bound = float(np.sqrt(max(0.0, 1.0 - e_post_var / prior_var)))
+        rho = pearson(theta[:, i], mean[:, i])
+        out[n] = {
+            "prior_sd": float(np.sqrt(prior_var)),
+            "rms_post_sd": float(np.sqrt(e_post_var)),
+            "rho_bound": bound,
+            "rho": rho,
+            "efficiency": float(rho / bound) if bound > 1e-3 else None,
+        }
+    return out
+
+
 def sbc_ranks(true_params: np.ndarray, param_samples: np.ndarray
               ) -> np.ndarray:
     """Simulation-based-calibration ranks: for each test dataset and

@@ -88,6 +88,34 @@ def test_sbc_uniform_for_calibrated_sampler():
     assert np.all(p_bad < 1e-6)
 
 
+def test_contraction_identity_conjugate_gaussian():
+    """Exact conjugate check of the calibrated-rho identity
+    rho = sqrt(1 - E[post var]/prior var), plus the estimator-bound
+    counterexample: independent noise on the posterior means drops
+    measured rho below the bound while the bound itself is unchanged."""
+    rng = np.random.default_rng(7)
+    T, n = 6000, 5
+    tau, sigma = 1.3, 2.0                    # prior sd, obs noise sd
+    theta = rng.normal(0, tau, T)
+    y = theta[:, None] + rng.normal(0, sigma, (T, n))
+    post_var = 1.0 / (1.0 / tau**2 + n / sigma**2)
+    post_mean = post_var * y.sum(1) / sigma**2
+    out = rec.contraction_identity(
+        theta[:, None], post_mean[:, None],
+        np.full((T, 1), np.sqrt(post_var)), ["th"])["th"]
+    # analytic bound sqrt(1 - post_var/tau^2); exact posterior attains it
+    want = np.sqrt(1 - post_var / tau**2)
+    assert abs(out["rho_bound"] - want) < 0.02
+    assert abs(out["efficiency"] - 1.0) < 0.03
+    # estimator-bound: posterior means corrupted by independent noise
+    noisy = post_mean + rng.normal(0, 2 * np.sqrt(post_var), T)
+    out2 = rec.contraction_identity(
+        theta[:, None], noisy[:, None],
+        np.full((T, 1), np.sqrt(post_var)), ["th"])["th"]
+    assert out2["efficiency"] < 0.8
+    assert abs(out2["rho_bound"] - out["rho_bound"]) < 1e-12
+
+
 def test_sbc_interval_coverage():
     """Calibrated ranks give nominal central-interval coverage; an
     overconfident sampler (draws too narrow) undercovers."""
