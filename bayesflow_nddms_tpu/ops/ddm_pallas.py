@@ -49,7 +49,10 @@ Array = jax.Array
 LANES = 128
 BLOCK_ROWS = 128          # 128x128 walks per grid step — best early-exit
                           # granularity on v5e (measured sweep in round 1)
-KBIG = 4.0                # big-tier step multiple
+KBIG = 3.0                # big-tier step multiple (round-3 sweep over
+                          # kbig in {1..12} on prior-drawn dcDDM batches:
+                          # peak at 3.0-3.5; no-tier control 1.0 runs 1.55x
+                          # slower; cfar 3.0 and kbig >= 6 both lose >8%)
 CFAR = 2.5                # big-tier guard band, in big-step noise sds
 _TWO_PI = 2.0 * math.pi
 _INV_2_24 = 1.0 / (1 << 24)
@@ -76,7 +79,8 @@ def _uniform16(bits: Array) -> Array:
 
 def _fp_kernel(seed_ref, drift_ref, bound_ref, beta_ref, dc_ref, active_ref,
                steps_ref, choice_ref, frac_ref, *,
-               dt: float, max_steps: int, bridge: bool):
+               dt: float, max_steps: int, bridge: bool,
+               kbig: float, cfar: float):
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     drift = drift_ref[:]
@@ -87,14 +91,14 @@ def _fp_kernel(seed_ref, drift_ref, bound_ref, beta_ref, dc_ref, active_ref,
     sigma = jnp.maximum(dc_ref[:], 1e-6)
     boundary = bound_ref[:]
     t_max = float(max_steps) * dt
-    dt_b = KBIG * dt
+    dt_b = kbig * dt
     mu_s = drift * dt
     sd_s = math.sqrt(dt) * sigma
     mu_b = drift * dt_b
     sd_b = math.sqrt(dt_b) * sigma
     inv2_s = 2.0 / (sd_s * sd_s)
     inv2_b = 2.0 / (sd_b * sd_b)
-    far_thresh = CFAR * sd_b
+    far_thresh = cfar * sd_b
     ev0 = boundary * beta_ref[:]
     active0 = active_ref[:] > 0
 
@@ -215,7 +219,8 @@ def _fp_kernel(seed_ref, drift_ref, bound_ref, beta_ref, dc_ref, active_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shape", "dt", "max_steps", "block_rows", "bridge"))
+    static_argnames=("shape", "dt", "max_steps", "block_rows", "bridge",
+                     "kbig", "cfar"))
 def first_passage_pallas(
     seed: Array,
     drift: Array,
@@ -229,12 +234,23 @@ def first_passage_pallas(
     active: Array | None = None,
     block_rows: int = BLOCK_ROWS,
     bridge: bool = True,
+    kbig: float = KBIG,
+    cfar: float = CFAR,
 ) -> FirstPassage:
     """Pallas first-passage simulator.
 
     ``seed``: int32 scalar (per-call stream; combined with the grid index
     per block). Parameters broadcast against ``shape`` exactly like
     ``first_passage``. Returns the same ``FirstPassage`` struct.
+
+    ``kbig``/``cfar`` tune the adaptive step tiers (big-tier step multiple
+    and its guard band in big-step sds); exactness holds for any
+    ``kbig`` >= 1, while ``cfar`` must stay large enough that a big step
+    starting inside the guard band essentially never reaches the FAR
+    boundary within one segment (the bridge test treats the nearest
+    boundary only; cfar = 2.5 puts the nearest-boundary crossing
+    probability at e^(-2*cfar^2) ~ 4e-6, and the opposite-boundary one
+    far below that).
     """
     f32 = jnp.float32
     total = int(math.prod(shape))
@@ -261,7 +277,7 @@ def first_passage_pallas(
 
     steps, choice, frac = pl.pallas_call(
         functools.partial(_fp_kernel, dt=dt, max_steps=max_steps,
-                          bridge=bridge),
+                          bridge=bridge, kbig=float(kbig), cfar=float(cfar)),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [bspec] * 5,
         out_specs=(bspec, bspec, bspec),
