@@ -785,7 +785,7 @@ def _make_evidence_model(name="basic_ddm_dc_evidence", n_rec=200,
             jnp.broadcast_to(_col(th["alpha"]), shape),
             jnp.broadcast_to(_col(th["beta"]), shape),
             jnp.broadcast_to(_col(th["dc"]), shape),
-            dt=dt, max_steps=max_steps, n_record=n_rec)
+            dt=dt, max_steps=max_steps, n_record=n_rec, active=active)
         rt = fp.steps.astype(jnp.float32) * dt + _col(th["ter"])
         sig = (jnp.float32(fixed_sigma) if fixed_sigma is not None
                else _col(th["sigma1"])[..., None])

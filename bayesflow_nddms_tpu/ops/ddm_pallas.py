@@ -49,10 +49,9 @@ Array = jax.Array
 LANES = 128
 BLOCK_ROWS = 128          # 128x128 walks per grid step — best early-exit
                           # granularity on v5e (measured sweep in round 1)
-KBIG = 3.0                # big-tier step multiple (round-3 sweep over
-                          # kbig in {1..12} on prior-drawn dcDDM batches:
-                          # peak at 3.0-3.5; no-tier control 1.0 runs 1.55x
-                          # slower; cfar 3.0 and kbig >= 6 both lose >8%)
+KBIG = 3.0                # big-tier step multiple; see
+                          # results/pallas_kbig_sweep_r4.json for the
+                          # on-chip sweep this default comes from
 CFAR = 2.5                # big-tier guard band, in big-step noise sds
 _TWO_PI = 2.0 * math.pi
 _INV_2_24 = 1.0 / (1 << 24)
@@ -244,8 +243,10 @@ def first_passage_pallas(
     ``first_passage``. Returns the same ``FirstPassage`` struct.
 
     ``kbig``/``cfar`` tune the adaptive step tiers (big-tier step multiple
-    and its guard band in big-step sds); exactness holds for any
-    ``kbig`` >= 1, while ``cfar`` must stay large enough that a big step
+    and its guard band in big-step sds); any ``kbig`` > 0 preserves the
+    sampler's law up to the ``cfar`` far-boundary approximation described
+    below (values <= 1 merely give no speedup), while ``cfar`` must stay
+    large enough that a big step
     starting inside the guard band essentially never reaches the FAR
     boundary within one segment (the bridge test treats the nearest
     boundary only; cfar = 2.5 puts the nearest-boundary crossing

@@ -247,7 +247,9 @@ def first_passage(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dt", "max_steps", "n_record", "record_dt_ratio"))
+    jax.jit,
+    static_argnames=("dt", "max_steps", "n_record", "record_dt_ratio",
+                     "chunk"))
 def first_passage_with_path(
     key: Array,
     drift: Array,
@@ -259,6 +261,8 @@ def first_passage_with_path(
     max_steps: int = 4000,
     n_record: int = 200,
     record_dt_ratio: int = 1,
+    active: Optional[Array] = None,
+    chunk: int = 200,
 ) -> tuple[FirstPassage, Array]:
     """First passage that also records the first ``n_record`` evidence values.
 
@@ -272,6 +276,12 @@ def first_passage_with_path(
     Runs at fine dt (default .001) where grid effects are below measurement
     noise; no bridge correction, so recorded paths stay the plain EM walks
     that the observation model (path + noise) assumes.
+
+    ``active`` masks out padded trials exactly as in :func:`first_passage`:
+    inactive walks are born "done" (choice 0, zero path), so after the
+    mandatory ``n_record`` recording steps the chunked tail loop early-exits
+    as soon as every *real* walk has been absorbed — padded lanes no longer
+    drag every dataset through the full 4000-step dt=.001 walk.
     """
     shape = jnp.broadcast_shapes(
         jnp.shape(drift), jnp.shape(boundary), jnp.shape(beta), jnp.shape(dc))
@@ -285,6 +295,10 @@ def first_passage_with_path(
     done0 = (ev0 >= boundary) | (ev0 <= 0.0)
     choice0 = jnp.where(ev0 >= boundary, 1,
                         jnp.where(ev0 <= 0.0, -1, 0)).astype(jnp.int8)
+    if active is not None:
+        done0 = done0 | ~active
+        choice0 = jnp.where(active, choice0, 0).astype(jnp.int8)
+        ev0 = jnp.where(active, ev0, 0.0)
 
     sqrt_dt_dc = jnp.sqrt(jnp.asarray(dt, f32)) * dc
     drift_dt = drift * dt
@@ -307,10 +321,26 @@ def first_passage_with_path(
     if record_dt_ratio > 1:
         path = path[record_dt_ratio - 1::record_dt_ratio]
 
-    remaining = max_steps - n_record * record_dt_ratio
+    rec_steps = n_record * record_dt_ratio
+    remaining = max_steps - rec_steps
     if remaining > 0:
-        ts_rest = (n_record * record_dt_ratio) + lax.iota(jnp.int32, remaining)
-        carry, _ = lax.scan(step, carry, ts_rest)
+        # Chunked tail with all-done early exit (same structure as
+        # first_passage): most prior draws absorb well before the 4 s cap,
+        # and with `active` padded lanes born-done the exit actually fires.
+        n_chunks = -(-remaining // chunk)
+
+        def chunk_body(state):
+            ci, carry = state
+            ts = rec_steps + ci * chunk + lax.iota(jnp.int32, chunk)
+            carry, _ = lax.scan(step, carry, ts)
+            return ci + 1, carry
+
+        def chunk_cond(state):
+            ci, (_, _, _, done) = state
+            return (ci < n_chunks) & jnp.logical_not(jnp.all(done))
+
+        _, carry = lax.while_loop(chunk_cond, chunk_body,
+                                  (jnp.int32(0), carry))
     _, steps, choice, _ = carry
     # path: (n_record, *shape) -> (*shape, n_record)
     path = jnp.moveaxis(path, 0, -1)

@@ -102,6 +102,23 @@ def test_ez_diffusion_recovers_generating_parameters():
     assert abs(float(est.ndt) - ter_true) < 0.05
 
 
+def test_ez_diffusion_guards():
+    """Degenerate inputs raise instead of silently returning inf/NaN
+    (reference asserts, Basic_DDM_simulations.py:133-146)."""
+    import pytest
+    rt = np.array([0.4, 0.5, 0.6, 0.7])
+    with pytest.raises(ValueError):          # empty
+        ez_diffusion(np.array([]), np.array([]))
+    with pytest.raises(ValueError):          # shape mismatch
+        ez_diffusion(rt, np.array([1.0, 0.0]))
+    with pytest.raises(ValueError):          # accuracy outside [0, 1]
+        ez_diffusion(rt, np.array([1.0, 2.0, 0.0, 1.0]))
+    with pytest.raises(ValueError):          # no correct responses
+        ez_diffusion(rt, np.zeros(4))
+    with pytest.raises(ValueError):          # zero correct-RT variance
+        ez_diffusion(np.full(4, 0.5), np.array([1.0, 1.0, 0.0, 0.0]))
+
+
 def test_ez_diffusion_blind_to_dc():
     """EZ (s=1 assumption) must return the SAME estimates for scalar-
     multiplied (v, a, dc) — the motivation for the entire dcDDM program."""

