@@ -66,7 +66,23 @@ _GEN_RANGES = {
     "single_trial_alpha_not_scaled": [
         (-3.0, 3.0), (0.8, 1.8), (0.3, 0.7), (0.15, 0.6), (0.3, 1.0),
         (0.8, 1.4), (0.5, 2.0)],
+    # eta family (round 4): moderate ranges mirroring the reference's
+    # simulation studies (retired_models/basic_ddm_eta_dc.py:66-79,
+    # single_trial_drift2.py) — exact backend = closed-form Gaussian-
+    # drift-marginal WFPT (mcmc/wfpt.py)
+    "basic_ddm_eta_dc": [
+        (-3.0, 3.0), (0.8, 1.8), (0.3, 0.7), (0.15, 0.6), (0.3, 1.2),
+        (0.8, 1.4)],
+    "single_trial_drift2": [
+        (-3.0, 3.0), (0.8, 1.8), (0.3, 0.7), (0.15, 0.6), (0.3, 1.2),
+        (0.8, 1.4), (0.5, 2.0)],
 }
+
+# models whose channel 0 is already the signed choicert (vs (rt, choice))
+_SIGNED_CH0 = {"single_trial_alpha_not_scaled", "single_trial_drift2"}
+
+# models fit exactly through the generic spec-driven batched targets
+_SPEC_PLAIN = {"basic_ddm_eta_dc", "single_trial_drift2"}
 
 
 def main(argv=None):
@@ -209,12 +225,12 @@ def main(argv=None):
     d = np.asarray(data)
     m = np.asarray(mask)
     rt, choice = d[..., 0], d[..., 1]
-    if args.model == "single_trial_alpha_not_scaled":
+    if args.model in _SIGNED_CH0:
         # channel 0 is already the signed choicert, channel 1 the covariate
         signed_y = rt
         valid = m & (signed_y != 0)
     else:
-        # dcDDM channels are (rt, choice); missing trials have choice 0
+        # dcDDM/eta_dc channels are (rt, choice); missing trials: choice 0
         signed_y = None
         valid = m & (choice != 0)
     n_missing = int(m.sum() - valid.sum())
@@ -241,8 +257,7 @@ def main(argv=None):
         from ..inference import amortized_logw
         logw = amortized_logw(
             spec, trainer, state, post_dev, data, mask, log_n,
-            flagship=(args.model == "single_trial_alpha_not_scaled"),
-            n_quad=args.n_quad)
+            kind=args.model, n_quad=args.n_quad)
         logw, n_degen = I_.sanitize_logw(logw)
         smoothed, khat = I_.psis_smooth(logw)
         deb_mean, _ = I_.weighted_moments(post.astype(np.float64), smoothed)
@@ -425,6 +440,61 @@ def main(argv=None):
         to_dict = lambda s: M.flagship_samples_to_dict(
             s, mdata, parameterization=args.parameterization)
         name_map = {n_: n_ for n_ in spec.param_names}
+    elif args.model in _SPEC_PLAIN:
+        # eta family: every dataset's exact posterior (trial drifts
+        # integrated out in closed form — dim = spec.n_params, no
+        # latents) fits as ONE compiled batched-ctx NUTS program, in the
+        # spec's unconstrained coordinates or (--neutra) the flow's base
+        # coordinates. First exact backend any eta model ever had.
+        from ..mcmc import neutra as NT
+        if args.tempered > 1:
+            raise SystemExit("--tempered does not compose with the "
+                             "batched eta-family path")
+        D = args.num_datasets
+        if args.neutra:
+            lp, push_s, ctx, dim = NT.make_logprob_spec_neutra_batched(
+                spec, trainer.amortizer, state.params, jnp.asarray(d),
+                jnp.asarray(m), log_n)
+            q0 = NT.neutra_initial_positions(jax.random.fold_in(key, 300),
+                                             D * args.chains, dim)
+            push = lambda eps, c: push_s(eps, c)
+            iv = jnp.ones(dim, jnp.float32)
+        else:
+            lp, push_plain, ctx, dim = M.make_logprob_spec_plain_batched(
+                spec, jnp.asarray(d), jnp.asarray(m))
+            # overdispersed inits: prior draws mapped to unconstrained z
+            thp = np.asarray(spec.sample_prior(
+                jax.random.fold_in(key, 300), D * args.chains))
+            cols = []
+            for j, dist_j in enumerate(spec.prior):
+                lo, hi = dist_j.support
+                if np.isfinite(lo) and np.isfinite(hi):
+                    s = np.clip((thp[:, j] - lo) / (hi - lo), 1e-4,
+                                1 - 1e-4)
+                    cols.append(np.log(s) - np.log1p(-s))
+                else:
+                    cols.append(thp[:, j])
+            q0 = jnp.asarray(np.stack(cols, axis=-1), jnp.float32)
+            push = lambda eps, c: push_plain(eps)
+            iv = jnp.ones(dim, jnp.float32)
+        print(f"{D} datasets x {args.chains} chains: batched "
+              f"{'NeuTra' if args.neutra else 'plain'} NUTS over the "
+              f"closed-form eta-marginal likelihood (dim {dim}), one "
+              f"compiled program", flush=True)
+        res = N.run_chains_chunked(
+            lp, q0, jax.random.fold_in(key, 400), n_warmup=args.warmup,
+            n_samples=args.samples, thin=args.thin,
+            max_depth=args.max_depth, chunk=args.chunk, progress=True,
+            dense_mass=args.dense_mass, init_inv_mass=iv,
+            checkpoint_path=args.nuts_checkpoint,
+            ctx=NT.replicate_ctx(ctx, args.chains))
+        n_kept = res.samples.shape[1]
+        eps = jnp.asarray(np.asarray(res.samples).reshape(
+            D, args.chains, n_kept, dim))
+        theta_s = np.asarray(jax.vmap(push)(eps, ctx))  # (D, C, S, P)
+        sdict = {name: np.transpose(theta_s[..., j], (0, 2, 1))
+                 for j, name in enumerate(spec.param_names)}
+        name_map = {n_: n_ for n_ in spec.param_names}
     elif args.neutra:
         # batched per-dataset NeuTra refits of the dcDDM — the designed
         # exact fallback for full-prior datasets whose PSIS certification
@@ -459,7 +529,8 @@ def main(argv=None):
 
     per_dataset_fit = ((args.model == "single_trial_alpha_not_scaled"
                         and args.per_dataset)
-                       or (args.model == "basic_ddm_dc" and args.neutra))
+                       or (args.model == "basic_ddm_dc" and args.neutra)
+                       or args.model in _SPEC_PLAIN)
     if not per_dataset_fit:
         print(f"NUTS over {dim} parameters, {args.chains} chains "
               f"(dense_mass={args.dense_mass}, amortizer-preconditioned "

@@ -71,7 +71,8 @@ def main(argv=None):
     spec = zoo.get_model(args.model)
     assert spec.prior_transform is None, \
         "prior_log_prob is defined on raw draws for dependent-prior models"
-    flagship = args.model == "single_trial_alpha_not_scaled"
+    from .agreement import _SIGNED_CH0
+    signed_ch0 = args.model in _SIGNED_CH0
     key = jax.random.PRNGKey(args.seed)
 
     # --- datasets (same construction as apps/agreement.py) ---------------
@@ -91,8 +92,8 @@ def main(argv=None):
         log_n = jnp.log(n.astype(jnp.float32))[:, None]
     B = args.num_datasets
     m_np = np.asarray(mask)
-    # signed-y channel for the flagship, choice channel for the dcDDM
-    ch = np.asarray(data[..., 0 if flagship else 1])
+    # signed-y channel for signed-ch0 models, choice channel otherwise
+    ch = np.asarray(data[..., 0 if signed_ch0 else 1])
     n_excl = int(m_np.sum() - (m_np & (ch != 0)).sum())
     print(f"{B} datasets, {int(m_np.sum())} trials "
           f"({n_excl} capped/missing excluded from the Wiener term)",
@@ -108,7 +109,7 @@ def main(argv=None):
     draws = trainer.sample(state, jax.random.fold_in(key, 2), data, mask,
                            log_n, args.draws)          # (B, S, P)
     logw = amortized_logw(spec, trainer, state, draws, data, mask, log_n,
-                          flagship=flagship, n_quad=args.n_quad,
+                          kind=args.model, n_quad=args.n_quad,
                           draw_chunk=args.draw_chunk)
     logw, n_degenerate = I.sanitize_logw(logw)
     smoothed, khat = I.psis_smooth(logw)

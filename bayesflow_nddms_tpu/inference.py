@@ -14,9 +14,12 @@ apps/fit_stahl.py --psis --refit-flagged, apps/agreement.py --neutra):
      (results/stahl_certified_*_r3).
 
 This module packages that pipeline as a single library entry point,
-``certified_posterior``, for the two model families with exact
-likelihoods (the dcDDM via the WFPT density, ``mcmc/wfpt.py``; the
-flagship via the Rao-Blackwellized marginal, ``mcmc/models.py``).
+``certified_posterior``, for every model family with an exact
+likelihood: the dcDDM (WFPT density, ``mcmc/wfpt.py``), the flagship
+(Rao-Blackwellized marginal, ``mcmc/models.py``), and the eta family
+— ``basic_ddm_eta_dc`` and ``single_trial_drift2`` — whose trial-level
+drifts integrate out in closed form (``wfpt.diffusion_eta_logpdf`` /
+``diffusion_eta_cov_logpdf``; round 4).
 The reference framework has no counterpart at any layer: its amortized
 backend (BayesFlow usage, ``basic_ddm_dc.py:163-207``) ships posteriors
 with no per-dataset quality signal, and its exact backends (JAGS/Stan,
@@ -42,19 +45,44 @@ FLAGSHIP = "single_trial_alpha_not_scaled"
 DCDDM = "basic_ddm_dc"
 
 
+_EXACT_LL_MODELS = (DCDDM, FLAGSHIP, "basic_ddm_eta_dc",
+                    "single_trial_drift2")
+
+
+def _logw_kind(spec_or_name, flagship=None):
+    """Resolve the likelihood family from a spec/model name (or the
+    legacy ``flagship`` bool)."""
+    if flagship is not None:
+        return FLAGSHIP if flagship else DCDDM
+    name = getattr(spec_or_name, "name", spec_or_name)
+    if name not in _EXACT_LL_MODELS:
+        raise ValueError(f"no exact likelihood wired for model {name!r}; "
+                         f"have {_EXACT_LL_MODELS}")
+    return name
+
+
 def amortized_logw(spec, trainer, state, draws, data, mask, log_n, *,
-                   flagship: bool, n_quad: int = 24, draw_chunk: int = 64
-                   ) -> np.ndarray:
+                   flagship: bool | None = None, kind: str | None = None,
+                   n_quad: int = 24, draw_chunk: int = 64) -> np.ndarray:
     """Raw importance log-weights of amortized draws against the exact
     unnormalized posterior: ``log p(theta) + log L(data|theta) -
     log q(theta|data)``. (B, S) float64. Shared by importance_check,
-    fit_stahl --psis, agreement --psis, and certified_posterior."""
+    fit_stahl --psis, agreement --psis, and certified_posterior.
+
+    ``kind`` selects the exact likelihood: the dcDDM WFPT density, the
+    flagship Rao-Blackwellized marginal, or the closed-form Gaussian-
+    drift marginals of the eta family (``basic_ddm_eta_dc``,
+    ``single_trial_drift2``; ``wfpt.diffusion_eta_logpdf`` /
+    ``diffusion_eta_cov_logpdf``). Defaults to ``spec.name``; the legacy
+    ``flagship`` bool is still accepted."""
+    kind = kind or _logw_kind(spec, flagship)
+    signed_ch0 = kind in (FLAGSHIP, "single_trial_drift2")
     logq = jax.jit(jax.vmap(
         lambda th: trainer.amortizer.apply(state.params, th, data, mask,
                                            log_n, method="log_prob"),
         in_axes=1, out_axes=1))(draws)                 # (B, S)
     m_np = np.asarray(mask)
-    if flagship:
+    if signed_ch0:
         # channel 0 is already the signed choicert (spec.py flagship obs)
         signed_y = np.asarray(data[..., 0])
         valid_np = m_np & (signed_y != 0)
@@ -68,7 +96,7 @@ def amortized_logw(spec, trainer, state, draws, data, mask, log_n, *,
     y_safe = jnp.asarray(np.where(valid_np, signed_y, 2.0), jnp.float32)
     valid = jnp.asarray(valid_np)
     in_mask = jnp.asarray(m_np)
-    if flagship:
+    if kind == FLAGSHIP:
         ext = data[..., 1]
         u_nodes, log_w = M.quadrature_rule(n_quad)
 
@@ -81,6 +109,18 @@ def amortized_logw(spec, trainer, state, draws, data, mask, log_n, *,
                 per(1), per(4), per(6), per(3), per(2), per(0), per(5),
                 u_nodes, log_w)                        # (B, c, N)
             return jnp.sum(jnp.where(in_mask[:, None, :], ll, 0.0), -1)
+    elif kind in ("basic_ddm_eta_dc", "single_trial_drift2"):
+        # the shared exact-likelihood registry handles the per-trial sum
+        # (capped-trial conventions included); broadcast draws over trials
+        ctx, ll_fn = M.exact_loglik_ctx(kind, jnp.asarray(data),
+                                        jnp.asarray(mask))
+        ctx_b = jax.tree.map(lambda x: x[:, None, :], ctx)
+        P = draws.shape[-1]
+
+        @jax.jit
+        def chunk_ll(th):                              # th: (B, c, P)
+            cols = [th[..., j][:, :, None] for j in range(P)]
+            return ll_fn(cols, ctx_b)
     else:
         @jax.jit
         def chunk_ll(th):                              # th: (B, c, 5)
@@ -198,16 +238,10 @@ def split_refits_by_khat(khat, flagged, k: int, band: float,
     return sel, neutra_sel, plain_sel
 
 
-def _family(spec) -> bool:
-    """True for the flagship, False for the dcDDM; raises otherwise."""
-    if spec.name == FLAGSHIP:
-        return True
-    if spec.name == DCDDM:
-        return False
-    raise ValueError(
-        f"certified inference needs an exact likelihood; available for "
-        f"{DCDDM!r} (WFPT) and {FLAGSHIP!r} (Rao-Blackwellized marginal), "
-        f"not {spec.name!r}")
+def _family(spec) -> str:
+    """The model's exact-likelihood kind (one of ``_EXACT_LL_MODELS``);
+    raises for models with no exact likelihood wired."""
+    return _logw_kind(spec)
 
 
 def refit_exact(spec, trainer, state, data_i, mask_i, log_n_i, key, *,
@@ -223,7 +257,11 @@ def refit_exact(spec, trainer, state, data_i, mask_i, log_n_i, key, *,
     ``(samples_dict, diagnostics)`` in the layouts ``neutra_samples_to_
     dict`` / ``diagnostics.convergence.diagnostic`` produce."""
     from .diagnostics.convergence import diagnostic
-    flagship = _family(spec)
+    kind = _family(spec)
+    if kind not in (FLAGSHIP, DCDDM):
+        raise ValueError("refit_exact handles the flagship/dcDDM only; "
+                         "use refit_exact_batch for the eta family")
+    flagship = kind == FLAGSHIP
     y_i = np.asarray(data_i[..., 0 if flagship else 1])
     m_i = np.asarray(mask_i)
     if flagship:
@@ -276,18 +314,21 @@ def refit_exact_batch(spec, trainer, state, data, mask, log_n, indices,
     a tunneled TPU; the batch pays it once).
     """
     from .diagnostics.convergence import diagnostic
-    flagship = _family(spec)
+    kind = _family(spec)
     indices = [int(i) for i in indices]
     adata = jnp.asarray(data)[jnp.asarray(indices)]
     amask = jnp.asarray(mask)[jnp.asarray(indices)]
     alog_n = jnp.asarray(log_n)[jnp.asarray(indices)]
-    if flagship:
+    if kind == FLAGSHIP:
         logprob, push, ctx, dim = NT.make_logprob_flagship_neutra_batched(
             trainer.amortizer, state.params, adata, amask, alog_n,
             n_quad=n_quad)
-    else:
+    elif kind == DCDDM:
         logprob, push, ctx, dim = NT.make_logprob_dcddm_neutra_batched(
             trainer.amortizer, state.params, adata, amask, alog_n)
+    else:
+        logprob, push, ctx, dim = NT.make_logprob_spec_neutra_batched(
+            spec, trainer.amortizer, state.params, adata, amask, alog_n)
     D = len(indices)
     q0 = NT.neutra_initial_positions(jax.random.fold_in(key, 0),
                                      D * chains, dim)
@@ -348,22 +389,32 @@ def refit_plain_batch(spec, trainer, state, data, mask, log_n, indices,
     posterior-scale inits.
     """
     from .diagnostics.convergence import diagnostic
-    flagship = _family(spec)
+    kind = _family(spec)
     indices = [int(i) for i in indices]
     sel = jnp.asarray(indices)
     adata = jnp.asarray(data)[sel]
     amask = jnp.asarray(mask)[sel]
-    if flagship:
+    if kind == FLAGSHIP:
         logprob, push, ctx, dim = M.make_logprob_flagship_marginal_batched(
             adata, amask, n_quad=n_quad)
         bounds = [None] + [M._FLAG_BOUNDS[n] for n in M._FLAG_ORDER[1:]]
-        y_np = np.asarray(adata[..., 0])
-        v_np = np.asarray(amask) & (y_np != 0)
-    else:
+    elif kind == DCDDM:
         logprob, push, ctx, dim = M.make_logprob_dcddm_plain_batched(
             adata, amask)
         bounds = [None] + [M._BOUNDS[n]
                            for n in M._DCDDM_SPEC_TO_MCMC[1:]]
+    else:
+        # generic spec-driven plain targets (the eta family): bounds come
+        # from the spec's own prior supports
+        logprob, push, ctx, dim = M.make_logprob_spec_plain_batched(
+            spec, adata, amask)
+        bounds = [(lo, hi) if np.isfinite(lo) and np.isfinite(hi) else None
+                  for lo, hi in (d.support for d in spec.prior)]
+    if kind in (FLAGSHIP, "single_trial_drift2"):
+        # channel 0 is already the signed choicert
+        y_np = np.asarray(adata[..., 0])
+        v_np = np.asarray(amask) & (y_np != 0)
+    else:
         rt = np.asarray(adata[..., 0])
         ch = np.asarray(adata[..., 1])
         y_np = rt * ch
@@ -395,11 +446,24 @@ def refit_plain_batch(spec, trainer, state, data, mask, log_n, indices,
     rng = np.random.default_rng(int(jax.random.randint(
         jax.random.fold_in(key, 0), (), 0, 2 ** 31 - 1)))
     q0s, masses = [], []
-    ranges = ([(-2.0, 2.0), (0.7, 1.8), (0.3, 0.7), None, (0.3, 1.2),
-               (0.7, 1.4), (0.5, 2.0)] if flagship
-              else [(-2.0, 2.0), (0.8, 1.6), (0.3, 0.7), None,
-                    (0.7, 1.4)])
-    ter_j = 3
+    ter_j = list(spec.param_names).index("ter")
+    if kind == FLAGSHIP:
+        ranges = [(-2.0, 2.0), (0.7, 1.8), (0.3, 0.7), None, (0.3, 1.2),
+                  (0.7, 1.4), (0.5, 2.0)]
+    elif kind == DCDDM:
+        ranges = [(-2.0, 2.0), (0.8, 1.6), (0.3, 0.7), None, (0.7, 1.4)]
+    else:
+        # moderate per-parameter init ranges from each prior's moments,
+        # clipped to its support (the no-init fallback path only)
+        ranges = []
+        for j, d in enumerate(spec.prior):
+            if j == ter_j:
+                ranges.append(None)
+                continue
+            lo, hi = d.support
+            ranges.append((max(lo + 1e-3, d.mean - d.std),
+                           min(hi - 1e-3 if np.isfinite(hi) else np.inf,
+                               d.mean + d.std)))
     if init_draws is not None:
         lp_many = jax.jit(jax.vmap(logprob, in_axes=(0, None)))
         grad_f = jax.grad(logprob)
@@ -561,13 +625,13 @@ def certified_posterior(spec, trainer, state, data, mask, log_n, key, *,
     khat re-fit in PLAIN natural coordinates (there the flow transport
     itself is broken and NeuTra inherits the breakage — measured Rhat
     27-6.5e4). Each tier is one batched compiled program."""
-    flagship = _family(spec)
+    kind = _family(spec)
     data, mask = jnp.asarray(data), jnp.asarray(mask)
     log_n = jnp.asarray(log_n)
     post = trainer.sample(state, jax.random.fold_in(key, 0), data, mask,
                           log_n, draws)                # (B, S, P)
     logw = amortized_logw(spec, trainer, state, post, data, mask, log_n,
-                          flagship=flagship, n_quad=n_quad,
+                          kind=kind, n_quad=n_quad,
                           draw_chunk=draw_chunk)
     logw, n_degen = I.sanitize_logw(logw)
     smoothed, khat = I.psis_smooth(logw)

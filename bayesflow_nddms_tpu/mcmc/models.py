@@ -530,6 +530,124 @@ def make_logprob_dcddm_plain_batched(adata: Array, amask: Array):
     return logprob, push, ctx, 5
 
 
+# ---------------------------------------------------------------------------
+# Spec-driven batched targets for the Gaussian-drift-marginal (eta) family
+# ---------------------------------------------------------------------------
+
+
+def _spec_push_prior(spec):
+    """Generic unconstrained-coordinate machinery from a ModelSpec's own
+    prior list: bounded supports get the sigmoid transform, unbounded ones
+    the identity. Returns (push, prior_lp) with ``push(z[..., P]) ->
+    theta`` in spec order and ``prior_lp(z[P]) -> scalar`` including the
+    transform Jacobians. Requires independent marginal priors
+    (``spec.prior_transform is None``)."""
+    assert spec.prior_transform is None, spec.name
+    bounds = [d.support for d in spec.prior]
+
+    def push(z: Array) -> Array:
+        cols = []
+        for j, (lo, hi) in enumerate(bounds):
+            if np.isfinite(lo) and np.isfinite(hi):
+                cols.append(lo + (hi - lo) * jax.nn.sigmoid(z[..., j]))
+            else:
+                cols.append(z[..., j])
+        return jnp.stack(cols, axis=-1)
+
+    def prior_lp(z: Array):
+        lp = 0.0
+        th = []
+        for j, ((lo, hi), d) in enumerate(zip(bounds, spec.prior)):
+            if np.isfinite(lo) and np.isfinite(hi):
+                x, jac = _sigmoid_transform(z[j], lo, hi)
+                lp = lp + jac
+            else:
+                x = z[j]
+            lp = lp + d.log_prob(x)
+            th.append(x)
+        return th, lp
+
+    return push, prior_lp
+
+
+def exact_loglik_ctx(name: str, adata: Array, amask: Array):
+    """Shared exact-likelihood registry over the amortizer data layout.
+
+    ``adata (D, N_pad, C)`` / ``amask (D, N_pad)`` -> ``(ctx, ll_fn)``
+    where ``ctx`` holds one dataset per leading row and
+    ``ll_fn(theta_cols, ctx_d)`` returns dataset d's summed exact
+    log-likelihood at ``theta_cols`` (a sequence of per-parameter values
+    in SPEC order; each entry may carry leading batch dims that broadcast
+    against the trial axis added here). Backs the plain batched targets,
+    the generic NeuTra targets, and ``inference.amortized_logw`` for
+    every model with a closed-form likelihood:
+
+      * ``basic_ddm_dc`` — WFPT (channels rt, choice; capped excluded);
+      * ``basic_ddm_eta_dc`` — Gaussian-drift-marginal WFPT
+        (``wfpt.diffusion_eta_logpdf``; capped excluded);
+      * ``single_trial_drift2`` — joint (choicert, drift covariate)
+        Gaussian-drift marginal (``wfpt.diffusion_eta_cov_logpdf``;
+        capped trials keep their covariate evidence term, the flagship-
+        marginal convention).
+    """
+    if name in ("basic_ddm_dc", "basic_ddm_eta_dc"):
+        rt, choice = adata[..., 0], adata[..., 1]
+        valid = amask & (choice != 0.0)
+        ctx = {"y": jnp.where(valid, rt * choice, 2.0), "valid": valid}
+        if name == "basic_ddm_dc":
+            def ll_fn(th, c):
+                drift, alpha, beta, ter, dc = th
+                ll = diffusion_logpdf(c["y"], alpha, ter, beta, drift, dc)
+                return jnp.sum(jnp.where(c["valid"], ll, 0.0), axis=-1)
+        else:
+            from .wfpt import diffusion_eta_logpdf
+
+            def ll_fn(th, c):
+                mu_drift, alpha, beta, ter, eta, dc = th
+                ll = diffusion_eta_logpdf(c["y"], alpha, ter, beta,
+                                          mu_drift, eta, dc)
+                return jnp.sum(jnp.where(c["valid"], ll, 0.0), axis=-1)
+        return ctx, ll_fn
+    if name == "single_trial_drift2":
+        from .wfpt import diffusion_eta_cov_logpdf
+        y = adata[..., 0]
+        observed = amask & (y != 0.0)
+        ctx = {"y": jnp.where(observed, y, 2.0), "ext": adata[..., 1],
+               "observed": observed, "pad": amask}
+
+        def ll_fn(th, c):
+            mu_drift, alpha, beta, ter, eta, dc, sigma1 = th
+            ll = diffusion_eta_cov_logpdf(c["y"], c["ext"], alpha, ter,
+                                          beta, mu_drift, eta, dc, sigma1,
+                                          observed=c["observed"])
+            return jnp.sum(jnp.where(c["pad"], ll, 0.0), axis=-1)
+        return ctx, ll_fn
+    raise ValueError(f"no exact likelihood registered for {name!r}")
+
+
+def make_logprob_spec_plain_batched(spec, adata: Array, amask: Array):
+    """Per-chain-context plain (unconstrained-coordinate) exact targets
+    for any model in the ``exact_loglik_ctx`` registry — the generic twin
+    of ``make_logprob_dcddm_plain_batched`` / ``..._flagship_marginal_
+    batched``, driven entirely by the ModelSpec's own priors. For the eta
+    family this is the first exact-likelihood backend any eta model ever
+    had (the reference's JAGS/Stan runs cover only the dcDDM;
+    ``retired_models/basic_ddm_eta_dc.py`` was validated by simulation
+    only) — the trial drifts are integrated out in closed form, so the
+    target has spec.n_params coordinates and no latents at all.
+
+    Returns ``(logprob, push, ctx, dim)`` for
+    ``nuts.run_chains_chunked(ctx=...)``."""
+    push, prior_lp = _spec_push_prior(spec)
+    ctx, ll_fn = exact_loglik_ctx(spec.name, adata, amask)
+
+    def logprob(z: Array, c) -> Array:
+        th, lp = prior_lp(z)
+        return lp + ll_fn(th, c)
+
+    return logprob, push, ctx, spec.n_params
+
+
 def quadrature_rule(n_quad: int):
     """Static Gauss-Legendre rule mapped to (0, 1): (nodes, log-weights)."""
     x_gl, w_gl = np.polynomial.legendre.leggauss(int(n_quad))

@@ -214,6 +214,37 @@ def make_logprob_dcddm_neutra_batched(amortizer, params, adata: Array,
     return logprob, push, ctx, dim
 
 
+def make_logprob_spec_neutra_batched(spec, amortizer, params, adata: Array,
+                                     amask: Array, alog_n: Array):
+    """Generic batched NeuTra targets for any model in
+    ``models.exact_loglik_ctx``'s registry (the eta family and beyond):
+    the exact posterior pulled back through the amortizer flow's
+    transport map, priors taken from the ModelSpec itself. Same contract
+    as the flagship/dcDDM variants: ``(logprob, push, ctx, dim)`` for
+    ``nuts.run_chains_chunked(ctx=...)``."""
+    assert spec.prior_transform is None, spec.name
+    dim = spec.n_params
+    cond, lo, hi = amortizer.apply(params, adata, amask, alog_n,
+                                   method="coord_context")
+    ll_ctx, ll_fn = M.exact_loglik_ctx(spec.name, adata, amask)
+    ctx = {"cond": cond, "lo": lo, "hi": hi, **ll_ctx}
+
+    def push(eps: Array, c) -> Array:
+        theta, _ = amortizer.apply(params, eps, c["cond"], c["lo"],
+                                   c["hi"], method="push_forward")
+        return theta
+
+    def logprob(eps: Array, c) -> Array:
+        theta, ldj = amortizer.apply(params, eps, c["cond"], c["lo"],
+                                     c["hi"], method="push_forward")
+        lp = ldj
+        for j, dist in enumerate(spec.prior):
+            lp = lp + dist.log_prob(theta[..., j])
+        return lp + ll_fn([theta[..., j] for j in range(dim)], c)
+
+    return logprob, push, ctx, dim
+
+
 def replicate_ctx(ctx, n_chains: int):
     """(D, ...) ctx leaves -> (D * n_chains, ...): dataset d's target
     occupies chain rows [d*n_chains, (d+1)*n_chains) — the layout

@@ -169,3 +169,107 @@ def wfpt_logpdf(t: Array, choice: Array, drift: Array, boundary: Array,
     (choice in {-1, +1})."""
     y = jnp.where(choice > 0, t, -t)
     return diffusion_logpdf(y, boundary, ndt, beta, drift, dc)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian-drift-marginal WFPT (the classic full-DDM eta extension)
+# ---------------------------------------------------------------------------
+#
+# In the Navarro-Fuss form the trial drift delta enters the lower-boundary
+# density ONLY through the factor exp(-delta*A - delta^2*B) with
+# A = a*w/dc^2 and B = t/(2 dc^2); the series part f_0 is drift-free. So
+# for trial drifts delta ~ N(m, s2) (the law of basic_ddm_eta_dc.py:81-107
+# and single_trial_drift{,2}.py — an UNtruncated normal), the marginal over
+# delta is the drift-0 density times a closed-form Gaussian integral:
+#
+#   E_delta[exp(-delta*A - delta^2*B)]
+#     = (1 + 2 B s2)^(-1/2) * exp((A^2 s2 - 2 m A - 2 B m^2)/(2(1+2B s2)))
+#
+# (complete the square; finite for all s2 >= 0 since B > 0). This is the
+# classic closed form behind the "full DDM" eta extension (Tuerlinckx 2004);
+# the drift-0 part reuses the log-space-grouped series above, so the
+# needle-regime (dc -> 0) hardening carries over unchanged.
+
+
+def _gaussian_drift_factor(A: Array, B: Array, m: Array, s2: Array) -> Array:
+    """log E_{delta ~ N(m, s2)}[exp(-delta*A - delta^2*B)] (exact)."""
+    den = 1.0 + 2.0 * B * s2
+    return (-0.5 * jnp.log(den)
+            + (A * A * s2 - 2.0 * m * A - 2.0 * B * m * m) / (2.0 * den))
+
+
+def diffusion_eta_logpdf(y: Array, boundary: Array, ndt: Array, beta: Array,
+                         mu_drift: Array, eta: Array, dc: Array) -> Array:
+    """Marginal log-density of a signed choice-RT under trial drift
+    variability: delta_i ~ N(mu_drift, eta), observation y = rt * choice.
+
+    Exact marginal of the ``basic_ddm_eta_dc`` generative model
+    (``retired_models/basic_ddm_eta_dc.py:81-107``); the reference never
+    had an exact-likelihood backend for any eta model. Same |y| < ndt
+    guard-and-penalty semantics as :func:`diffusion_logpdf`.
+
+    Upper-boundary hits use the reflection (w -> 1-w) under which the
+    trial drift reflects too: delta -> -delta, i.e. m -> -m with eta
+    unchanged.
+    """
+    rt = jnp.abs(y)
+    t_dec = jnp.maximum(rt - ndt, 1e-4)
+    penalty = -1e4 * jnp.maximum(ndt - rt, 0.0)
+    upper = y >= 0
+    w = jnp.where(upper, 1.0 - beta, beta)
+    m = jnp.where(upper, -mu_drift, mu_drift)
+    zero = jnp.zeros((), jnp.float32)
+    log_f0 = _wfpt_log_lower_scaled(t_dec, zero, boundary, w, dc)
+    dc2 = dc * dc
+    A = boundary * w / dc2
+    B = t_dec / (2.0 * dc2)
+    return log_f0 + _gaussian_drift_factor(A, B, m, eta * eta) + penalty
+
+
+def diffusion_eta_cov_logpdf(y: Array, ext: Array, boundary: Array,
+                             ndt: Array, beta: Array, mu_drift: Array,
+                             eta: Array, dc: Array, sigma1: Array,
+                             observed: Array | None = None) -> Array:
+    """Joint marginal log-density of (signed choice-RT, drift covariate)
+    with the trial drift integrated out — the ``single_trial_drift2``
+    observation model (``retired_models/single_trial_drift2.py``, channel
+    ``ext_i ~ N(delta_i, sigma1)``, ``single_trial_drift.py:126-156``).
+
+    Marginalizing delta_i ~ N(mu_drift, eta^2) jointly over both channels
+    stays closed-form: the covariate contributes the evidence factor
+    N(ext; mu_drift, eta^2 + sigma1^2) and updates the drift law to
+    N(m*, s*^2) with 1/s*^2 = 1/eta^2 + 1/sigma1^2 and
+    m* = s*^2 (mu/eta^2 + ext/sigma1^2), which then enters the same
+    Gaussian-drift factor as :func:`diffusion_eta_logpdf`.
+
+    ``observed`` (bool, optional): trials whose walk hit the step cap
+    (choice 0 in the simulator, ``basic_ddm_dc.py:111``) have no RT
+    density; following the flagship marginal's convention
+    (``make_logprob_flagship_marginal``) they contribute their covariate
+    evidence term ONLY. Pass ``observed = (choice != 0)`` and the Wiener
+    part is masked out for capped trials while the evidence part is kept.
+    """
+    rt = jnp.abs(y)
+    t_dec = jnp.maximum(rt - ndt, 1e-4)
+    penalty = -1e4 * jnp.maximum(ndt - rt, 0.0)
+    eta2 = eta * eta
+    s1_2 = sigma1 * sigma1
+    tot = eta2 + s1_2
+    # covariate evidence: ext ~ N(mu_drift, eta^2 + sigma1^2)
+    resid = ext - mu_drift
+    log_ev = -0.5 * (_LOG_2PI + jnp.log(tot)) - resid * resid / (2.0 * tot)
+    # conditional drift law given ext
+    s_star2 = eta2 * s1_2 / tot
+    m_star = (mu_drift * s1_2 + ext * eta2) / tot
+    upper = y >= 0
+    w = jnp.where(upper, 1.0 - beta, beta)
+    m = jnp.where(upper, -m_star, m_star)
+    zero = jnp.zeros((), jnp.float32)
+    log_f0 = _wfpt_log_lower_scaled(t_dec, zero, boundary, w, dc)
+    dc2 = dc * dc
+    A = boundary * w / dc2
+    B = t_dec / (2.0 * dc2)
+    wiener = log_f0 + _gaussian_drift_factor(A, B, m, s_star2) + penalty
+    if observed is not None:
+        wiener = jnp.where(observed, wiener, 0.0)
+    return log_ev + wiener

@@ -117,6 +117,96 @@ def test_diffusion_logpdf_matches_simulation_histogram():
     assert np.median(rel) < 0.08  # EM discretization + MC noise budget
 
 
+def test_eta_marginal_matches_quadrature():
+    """The closed-form Gaussian-drift marginal must equal brute-force
+    numerical integration of wfpt(y|delta) * N(delta; m, eta) over a wide
+    delta grid, on both boundaries and across eta scales."""
+    from bayesflow_nddms_tpu.mcmc.wfpt import diffusion_eta_logpdf
+    bound, ndt, beta, dc = 1.4, 0.3, 0.45, 1.3
+    ys = jnp.asarray([0.55, 0.9, 1.8, -0.62, -1.1], jnp.float32)
+    for m, eta in [(1.2, 0.5), (0.0, 1.0), (-0.8, 0.25), (2.0, 2.0)]:
+        closed = np.asarray(diffusion_eta_logpdf(
+            ys, bound, ndt, beta, m, eta, dc))
+        deltas = np.linspace(m - 8 * eta, m + 8 * eta, 4001)
+        dd = deltas[1] - deltas[0]
+        lps = np.asarray(diffusion_logpdf(
+            ys[:, None], bound, ndt, beta,
+            jnp.asarray(deltas, jnp.float32)[None, :], dc))
+        wts = (np.exp(-(deltas - m) ** 2 / (2 * eta ** 2))
+               / np.sqrt(2 * np.pi * eta ** 2) * dd)
+        brute = np.log(np.exp(lps) @ wts)
+        np.testing.assert_allclose(closed, brute, rtol=0, atol=2e-3)
+
+
+def test_eta_marginal_zero_eta_limit():
+    """eta -> 0 must reduce exactly to the fixed-drift density."""
+    from bayesflow_nddms_tpu.mcmc.wfpt import diffusion_eta_logpdf
+    ys = jnp.asarray([0.5, 1.2, -0.7, -2.0], jnp.float32)
+    fixed = np.asarray(diffusion_logpdf(ys, 1.2, 0.25, 0.4, 0.9, 1.1))
+    marg = np.asarray(diffusion_eta_logpdf(ys, 1.2, 0.25, 0.4, 0.9,
+                                           0.0, 1.1))
+    np.testing.assert_allclose(marg, fixed, rtol=1e-5, atol=1e-5)
+
+
+def test_eta_marginal_matches_exact_sampler():
+    """Density vs the exact rejection sampler WITH drift variability
+    (simulratcliff's Eta argument, pyhddmjagsutils.py:47-176) — the
+    latent consistency check extended to the eta family."""
+    from bayesflow_nddms_tpu.mcmc.wfpt import diffusion_eta_logpdf
+    from bayesflow_nddms_tpu.ops.exact_sampler import simulate_exact
+    m, eta, bound, ndt, beta, dc = 1.0, 0.8, 1.3, 0.3, 0.5, 1.2
+    n = 300_000
+    y = np.asarray(simulate_exact(jax.random.PRNGKey(3), n=n, alpha=bound,
+                                  tau=ndt, nu=m, beta=beta, eta=eta,
+                                  varsigma=dc))
+    upper = y[y > 0]
+    hist, edges = np.histogram(upper, bins=30, range=(ndt, ndt + 1.6))
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    emp_dens = hist / n / (edges[1] - edges[0])
+    mod_dens = np.exp(np.asarray(diffusion_eta_logpdf(
+        jnp.asarray(centers, jnp.float32), bound, ndt, beta, m, eta, dc)))
+    keep = emp_dens > 5e-3
+    rel = np.abs(mod_dens[keep] - emp_dens[keep]) / emp_dens[keep]
+    assert np.median(rel) < 0.08
+    # choice probability must match too
+    p_up_emp = float((y > 0).mean())
+    ts = np.linspace(ndt + 1e-4, ndt + 30.0, 60_000)
+    pdf = np.exp(np.asarray(diffusion_eta_logpdf(
+        jnp.asarray(ts, jnp.float32), bound, ndt, beta, m, eta, dc)))
+    p_up_mod = float(np.trapezoid(pdf, ts))
+    assert abs(p_up_emp - p_up_mod) < 0.01
+
+
+def test_eta_cov_joint_matches_quadrature():
+    """Joint (choice-RT, covariate) marginal vs brute-force integration —
+    the single_trial_drift2 observation model."""
+    from bayesflow_nddms_tpu.mcmc.wfpt import diffusion_eta_cov_logpdf
+    bound, ndt, beta, dc = 1.2, 0.28, 0.5, 1.0
+    m, eta, s1 = 1.1, 0.6, 0.8
+    ys = jnp.asarray([0.5, 1.1, -0.8], jnp.float32)
+    es = jnp.asarray([1.4, 0.2, -0.5], jnp.float32)
+    closed = np.asarray(diffusion_eta_cov_logpdf(
+        ys, es, bound, ndt, beta, m, eta, dc, s1))
+    deltas = np.linspace(m - 8 * eta, m + 8 * eta, 4001)
+    dd = deltas[1] - deltas[0]
+    lps = np.asarray(diffusion_logpdf(
+        ys[:, None], bound, ndt, beta,
+        jnp.asarray(deltas, jnp.float32)[None, :], dc))
+    prior_w = (np.exp(-(deltas - m) ** 2 / (2 * eta ** 2))
+               / np.sqrt(2 * np.pi * eta ** 2) * dd)
+    like_e = (np.exp(-(np.asarray(es)[:, None] - deltas[None, :]) ** 2
+                     / (2 * s1 ** 2)) / np.sqrt(2 * np.pi * s1 ** 2))
+    brute = np.log(np.sum(np.exp(lps) * like_e * prior_w[None, :], axis=1))
+    np.testing.assert_allclose(closed, brute, rtol=0, atol=2e-3)
+    # capped trial: only the covariate evidence term survives
+    capped = np.asarray(diffusion_eta_cov_logpdf(
+        jnp.float32(0.0), jnp.float32(1.4), bound, ndt, beta, m, eta, dc,
+        s1, observed=jnp.asarray(False)))
+    ev = (-0.5 * np.log(2 * np.pi * (eta ** 2 + s1 ** 2))
+          - (1.4 - m) ** 2 / (2 * (eta ** 2 + s1 ** 2)))
+    np.testing.assert_allclose(capped, ev, rtol=1e-5, atol=1e-5)
+
+
 def test_diffusion_logpdf_guard_small_rt():
     """|y| < ndt must hit the guard, not produce nan
     (basic_ddm_dc_pystan2.py:122-124)."""
@@ -993,7 +1083,78 @@ def test_plain_batched_targets_match_serial():
             th = np.asarray(push_b(z))
             assert th.shape == (7,) and np.isfinite(th).all()
 
+    # the generic spec-driven builder must agree EXACTLY with the
+    # hand-written dcDDM batched target (identical priors, bounds,
+    # transforms — M._BOUNDS/_PRIORS mirror the spec's own dists)
+    spec_g = zoo.get_model("basic_ddm_dc")
+    mask_g = jnp.ones((2, n), bool)
+    theta_g = spec_g.sample_prior(jax.random.PRNGKey(21), 2)
+    data_g = spec_g.simulate(jax.random.PRNGKey(22), theta_g, n,
+                             active=mask_g)
+    lp_g, push_g, ctx_g, dim_g = M.make_logprob_spec_plain_batched(
+        spec_g, data_g, mask_g)
+    lp_h, push_h, ctx_h, dim_h = M.make_logprob_dcddm_plain_batched(
+        data_g, mask_g)
+    assert dim_g == dim_h == 5
+    for s in range(3):
+        z = 0.7 * jax.random.normal(jax.random.PRNGKey(30 + s), (5,))
+        for d_ in range(2):
+            cg = jax.tree.map(lambda x: x[d_], ctx_g)
+            ch_ = jax.tree.map(lambda x: x[d_], ctx_h)
+            np.testing.assert_allclose(float(lp_g(z, cg)),
+                                       float(lp_h(z, ch_)),
+                                       rtol=1e-6, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(push_g(z)),
+                                   np.asarray(push_h(z)), rtol=1e-6)
+
+
+def test_eta_batched_target_finite_and_informative():
+    """The eta-family batched targets: finite logprob and gradient at
+    prior-typical z, and the data moves the posterior (truth beats a
+    far-off point)."""
+    from bayesflow_nddms_tpu.mcmc import models as M
+    from bayesflow_nddms_tpu.models import zoo
+    for name in ("basic_ddm_eta_dc", "single_trial_drift2"):
+        spec = zoo.get_model(name)
+        theta = jnp.asarray(
+            [[1.0, 1.2, 0.5, 0.3, 0.6, 1.0, 0.8][:spec.n_params]],
+            jnp.float32)
+        n = 160
+        mask = jnp.ones((1, n), bool)
+        data = spec.simulate(jax.random.PRNGKey(7), theta, n, active=mask)
+        lp, push, ctx, dim = M.make_logprob_spec_plain_batched(
+            spec, data, mask)
+        assert dim == spec.n_params
+        c = jax.tree.map(lambda x: x[0], ctx)
+
+        def z_of(th):
+            cols = []
+            for j, d_ in enumerate(spec.prior):
+                lo, hi = d_.support
+                if np.isfinite(lo) and np.isfinite(hi):
+                    s = np.clip((th[j] - lo) / (hi - lo), 1e-4, 1 - 1e-4)
+                    cols.append(np.log(s) - np.log1p(-s))
+                else:
+                    cols.append(th[j])
+            return jnp.asarray(cols, jnp.float32)
+
+        z_true = z_of(np.asarray(theta)[0])
+        lp_true = float(lp(z_true, c))
+        g = np.asarray(jax.grad(lp)(z_true, c))
+        assert np.isfinite(lp_true) and np.all(np.isfinite(g)), name
+        wrong = np.asarray(theta)[0].copy()
+        wrong[0] = -wrong[0] - 2.0         # flip + shift the drift mean
+        assert lp_true > float(lp(z_of(wrong), c)) + 10, name
+        th_rt = np.asarray(push(z_true))
+        np.testing.assert_allclose(th_rt, np.asarray(theta)[0], rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_plain_batched_targets_match_serial_dcddm():
     # dcDDM: batched spec-order z vs make_logprob's mcmc-name-order z
+    from bayesflow_nddms_tpu.mcmc import models as M
+    from bayesflow_nddms_tpu.models import zoo
+    n = 48
     spec2 = zoo.get_model("basic_ddm_dc")
     theta2 = jnp.asarray([[1.0, 1.1, 0.5, 0.3, 1.0]], jnp.float32)
     mask2 = jnp.ones((1, n), bool)

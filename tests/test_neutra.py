@@ -360,6 +360,42 @@ def test_batched_neutra_targets_match_serial():
                                        atol=2e-4)
 
 
+def test_spec_neutra_density_identity():
+    """The generic spec-driven NeuTra target (eta family) must equal
+    prior(theta) + exact loglik(theta) + logdet at theta = push(eps),
+    with the likelihood evaluated by the shared registry directly."""
+    spec = zoo.get_model("basic_ddm_eta_dc")
+    theta = jnp.asarray([[1.0, 1.2, 0.5, 0.3, 0.6, 1.0],
+                         [-0.8, 1.0, 0.45, 0.25, 0.4, 1.2]], jnp.float32)
+    n = 48
+    mask = jnp.ones((2, n), bool)
+    data = spec.simulate(jax.random.PRNGKey(9), theta, n, active=mask)
+    log_n = jnp.full((2, 1), np.log(n), jnp.float32)
+    am = build_amortizer(spec)
+    params = am.init(jax.random.PRNGKey(7), theta, data, mask, log_n)
+    lp, push, ctx, dim = NT.make_logprob_spec_neutra_batched(
+        spec, am, params, data, mask, log_n)
+    assert dim == 6
+    cond, lo, hi = am.apply(params, data, mask, log_n,
+                            method="coord_context")
+    ll_ctx, ll_fn = M.exact_loglik_ctx(spec.name, data, mask)
+    for d in range(2):
+        c = jax.tree.map(lambda x: x[d], ctx)
+        cl = jax.tree.map(lambda x: x[d], ll_ctx)
+        for s in range(3):
+            eps = 0.5 * jax.random.normal(jax.random.PRNGKey(s), (6,))
+            th, ldj = am.apply(params, eps, cond[d], lo[d], hi[d],
+                               method="push_forward")
+            expect = float(ldj) + sum(
+                float(dist.log_prob(th[j]))
+                for j, dist in enumerate(spec.prior))
+            expect += float(ll_fn([th[j] for j in range(6)], cl))
+            np.testing.assert_allclose(float(lp(eps, c)), expect,
+                                       rtol=2e-6, atol=2e-3)
+            np.testing.assert_allclose(np.asarray(push(eps, c)),
+                                       np.asarray(th), rtol=1e-6)
+
+
 def test_replicate_ctx_layout():
     ctx = {"a": jnp.arange(3.0)[:, None]}
     r = NT.replicate_ctx(ctx, 2)
