@@ -1,7 +1,8 @@
 """Imputation validation driver: embed known single-trial structure in the
 real EEG covariate, simulate behavior from it, fit, and check recovery.
 
-Replaces ``imputation_from_stahl_not_scaled.py``: per-trial boundaries are
+Replaces ``imputation_from_stahl_not_scaled.py`` (``--model
+single_trial_alpha_not_scaled``, the default): per-trial boundaries are
 imputed from standardized real Pe/c as ``(z+3)/3`` clipped at 0 (:82-105),
 per-participant (drift, beta, ter, dc) are drawn from the generating
 distributions of :165-176, choice-RTs are simulated from those imputed
@@ -9,6 +10,15 @@ boundaries (:203-213, here via the batched TPU kernel instead of a Python
 trial loop), the flagship amortizer fits the semi-synthetic data, and
 recovery of the imputed mu_alpha / std_alpha and the drawn parameters is
 reported (:232-336).
+
+``--model single_trial_alpha_standnorm`` rebuilds the RETIRED imputation
+pipelines (``retired_models/imputation_from_stahl.py:32`` and
+``imputation_from_stahl_standard.py``), which impute through the
+variance-parameterized standnorm model: the covariate channel fed to the
+net is the raw standardized Pe/c (``all_standard_Pe``, :64,207 — not the
+``(z+3)/3`` rescaling, which only builds the latent boundaries), and the
+recovered trial-variability truth is the imputed boundary VARIANCE
+(``Var_Alpha``, :151) rather than its SD.
 """
 
 from __future__ import annotations
@@ -54,8 +64,12 @@ def draw_participant_params(rng: np.random.Generator, nsubs: int):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--model", default=FLAGSHIP,
+                   choices=[FLAGSHIP, "single_trial_alpha_standnorm"])
     p.add_argument("--csv", default="stahl_data/base_data.csv")
-    p.add_argument("--ckpt-dir", default=f"checkpoint/{FLAGSHIP}")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="default: trained/<model> (falling back to "
+                        "checkpoint/<model>)")
     p.add_argument("--draws", type=int, default=1000)
     p.add_argument("--seed", type=int, default=2024)
     p.add_argument("--force-differences", action="store_true",
@@ -90,7 +104,12 @@ def main(argv=None):
     # Truths (mu/std of imputed boundaries) are computed over EXACTLY the
     # trials that fit in the buffer, so recovery is never biased by
     # participants with more than n_max trials.
-    spec = zoo.get_model(FLAGSHIP)
+    spec = zoo.get_model(args.model)
+    standnorm = args.model == "single_trial_alpha_standnorm"
+    # the standnorm net observes the RAW standardized Pe/c
+    # (imputation_from_stahl.py:64,207); the flagship the (z+3)/3 rescale
+    cov_trials = ((pe - pe.mean()) / pe.std()) if standnorm \
+        else alpha_like_pe
     n_pad = spec.n_max
     counts = np.array([min((subj == pt).sum(), n_pad) for pt in parts])
     P = len(parts)
@@ -103,7 +122,7 @@ def main(argv=None):
         sel = subj == pt
         n = int(counts[i])
         bound_buf[i, :n] = alphas[sel][:n]
-        cov_buf[i, :n] = alpha_like_pe[sel][:n]
+        cov_buf[i, :n] = cov_trials[sel][:n]
         mask[i, :n] = True
         true_mu[i] = alphas[sel][:n].mean()
         true_std[i] = alphas[sel][:n].std()
@@ -123,8 +142,13 @@ def main(argv=None):
     data[~mask] = 0.0
     log_n = np.log(counts.astype(np.float32))[:, None]
 
+    ckpt = args.ckpt_dir
+    if ckpt is None:
+        ckpt = f"trained/{args.model}"
+        if not os.path.isdir(ckpt):
+            ckpt = f"checkpoint/{args.model}"
     cfg = TrainConfig(batch_size=256, steps=1, n_pad=spec.n_max,
-                      ckpt_dir=args.ckpt_dir)
+                      ckpt_dir=ckpt)
     trainer = Trainer(spec, cfg)
     state = trainer.maybe_restore(trainer.init())
 
@@ -133,7 +157,13 @@ def main(argv=None):
     post_mean = post.mean(axis=1)
 
     truths = {"drift": drift, "mu_alpha": true_mu, "beta": beta,
-              "ter": ter, "std_alpha": true_std, "dc": dc}
+              "ter": ter, "dc": dc}
+    if standnorm:
+        # the standnorm model recovers the imputed boundary VARIANCE
+        # (imputation_from_stahl.py:151, 'Var_Alpha')
+        truths["var_alpha"] = true_std ** 2
+    else:
+        truths["std_alpha"] = true_std
     metrics = {}
     for i, name in enumerate(spec.param_names):
         if name in truths:

@@ -1,17 +1,21 @@
-"""Misspecification study driver for the flagship model.
+"""Misspecification study driver for the trial-level boundary models.
 
-Replaces the ``test_misspecification`` suite embedded in
-``single_trial_alpha_not_scaled.py:879-1889``: the amortizer trained on
-the flagship generative model is confronted with data from ALTERNATIVE
-ground truths and the bias in recovered parameters (especially the
-proportion-of-cognitive-variance summary) is reported:
+Replaces the ``test_misspecification`` suites embedded in the reference's
+model scripts — the flagship's (``single_trial_alpha_not_scaled.py:
+879-1889``) and its 1,750+-LoC duplicates for the alpha variants
+(``retired_models/single_trial_alpha_standard.py:750-1560``,
+``single_trial_alpha_fixed.py``; SURVEY.md §2.5). One ``--model`` flag
+selects the fitted model; the five alternative ground truths are built
+for that model's own covariate-centering convention:
 
   * ``self``      — data from the fitted model itself (sanity, :879-894)
   * ``trial_dc``  — trial-wise diffusion coefficient instead of trial-wise
-                    boundary (:899-1056); zoo model single_trial_dc_not_scaled
-  * ``scaled``    — covariate loading gamma ~ U(0,2) instead of 1
-                    (:1205-1463); zoo model single_trial_alpha_scaled
-  * ``scaled2``   — fixed loading gamma = 2 (:1466-1700)
+                    boundary (:899-1056): covariate tracks ``dc_trial``
+                    with the model's centering (``1*dc_trial - center``,
+                    single_trial_alpha_standard.py:854, _fixed.py:849)
+  * ``scaled``    — covariate loading gamma ~ U(0,2) instead of 1, center
+                    scaled along (:1205-1463; _standard.py:1151)
+  * ``scaled2``   — fixed loading gamma = 2 (:1466-1700; _standard.py:1379)
   * ``fine_dt``   — same model simulated at dt=.001 / 4000 steps, the
                     Brown et al. (2006) EM-accuracy check (:1702-1765)
 """
@@ -35,43 +39,90 @@ from .fit_stahl import prop_cognitive_variance
 
 FLAGSHIP = "single_trial_alpha_not_scaled"
 
+# covariate centering per supported model: the term subtracted from the
+# (loading * bound_trial) covariate mean
+#   not_scaled: nothing (ext ~ N(g*bound, s1))
+#   standard:   g * mu_alpha (ext mean is zero by construction, :113-117)
+#   fixed:      g * 1        (centered at -1 when g = 1, _fixed.py:111-113)
+_CENTERING = {FLAGSHIP: "none",
+              "single_trial_alpha_standard": "mu",
+              "single_trial_alpha_fixed": "one"}
 
-def _scaled2_spec():
-    """Flagship generator with the covariate loading FIXED at 2
-    (single_trial_alpha_not_scaled.py:1466-1577)."""
-    base = zoo.get_model(FLAGSHIP)
+
+def _center(kind, mu):
+    if kind == "none":
+        return 0.0
+    return mu if kind == "mu" else 1.0
+
+
+def _trial_dc_spec(model):
+    """Trial-wise-dc alternative truth with the model's centering
+    (covariate tracks dc_trial: _standard.py:854 / _fixed.py:849)."""
+    kind = _CENTERING[model]
+    if kind == "none":
+        return zoo.get_model("single_trial_dc_not_scaled")
+    if kind == "mu":
+        return zoo.get_model("single_trial_dc_centered")
+    base = zoo.get_model("single_trial_dc_not_scaled")
 
     def obs_fn(key, th, trial, t_dec, choice):
         choicert = choice.astype(jnp.float32) * (th["ter"][:, None] + t_dec)
-        ext = 2.0 * trial.boundary + th["sigma1"][:, None] * \
-            jax.random.normal(key, trial.boundary.shape)
+        ext = (trial.dc - 1.0) + th["sigma1"][:, None] * \
+            jax.random.normal(key, trial.dc.shape)
         return jnp.stack([choicert, ext], axis=-1)
 
-    return dataclasses.replace(base, name=FLAGSHIP + "_scaled2",
+    return dataclasses.replace(base, name=model + "_trial_dc",
                                obs_fn=obs_fn)
 
 
-def alternative_truths():
-    base = zoo.get_model(FLAGSHIP)
+def _scaled_spec(model, gamma_fixed=None):
+    """gamma-scaled alternative truth: ext ~ N(g*bound - g*center, sigma1)
+    with g ~ U(0,2) (or fixed). _standard.py:1151/1379, _fixed.py:1146/
+    1374, flagship :1205-1463/:1466-1577."""
+    kind = _CENTERING[model]
+    base = zoo.get_model(model)
+    from ..utils import dists
+
+    def obs_fn(key, th, trial, t_dec, choice):
+        choicert = choice.astype(jnp.float32) * (th["ter"][:, None] + t_dec)
+        g = (jnp.float32(gamma_fixed) if gamma_fixed is not None
+             else th["gamma"][:, None])
+        c = _center(kind, th["mu_alpha"][:, None])
+        ext = g * (trial.boundary - c) + th["sigma1"][:, None] * \
+            jax.random.normal(key, trial.boundary.shape)
+        return jnp.stack([choicert, ext], axis=-1)
+
+    if gamma_fixed is not None:
+        return dataclasses.replace(base, name=f"{model}_scaled2",
+                                   obs_fn=obs_fn)
+    return dataclasses.replace(
+        base, name=f"{model}_scaled", obs_fn=obs_fn,
+        param_names=base.param_names + ("gamma",),
+        prior=base.prior + (dists.uniform(0.0, 2.0),))
+
+
+def alternative_truths(model):
+    base = zoo.get_model(model)
     return {
         "self": base,
-        "trial_dc": zoo.get_model("single_trial_dc_not_scaled"),
-        "scaled": zoo.get_model("single_trial_alpha_scaled"),
-        "scaled2": _scaled2_spec(),
-        "fine_dt": dataclasses.replace(base, name=FLAGSHIP + "_fine",
+        "trial_dc": _trial_dc_spec(model),
+        "scaled": (zoo.get_model("single_trial_alpha_scaled")
+                   if model == FLAGSHIP else _scaled_spec(model)),
+        "scaled2": _scaled_spec(model, gamma_fixed=2.0),
+        "fine_dt": dataclasses.replace(base, name=model + "_fine",
                                        dt=0.001, max_steps=4000),
     }
 
 
-# how each alternative truth's parameter vector maps onto the flagship's
-# 7 slots for recovery comparison (None = no comparable truth)
+# how each alternative truth's parameter vector maps onto the fitted
+# model's 7 slots for recovery comparison (None = no comparable truth)
 _PARAM_MAP = {
     "self": list(range(7)),
     "fine_dt": list(range(7)),
     "scaled": list(range(7)),        # extra gamma ignored
     "scaled2": list(range(7)),
     # trial_dc params: drift, alpha, beta, ter, std_dc, mu_dc, sigma1
-    # flagship slots:  drift, mu_alpha, beta, ter, std_alpha, dc, sigma1
+    # fitted slots:    drift, mu_alpha, beta, ter, std_alpha, dc, sigma1
     "trial_dc": [0, 1, 2, 3, None, None, 6],
 }
 
@@ -79,7 +130,9 @@ _PARAM_MAP = {
 def _true_pcv(case: str, theta: np.ndarray) -> np.ndarray | None:
     """Ground-truth proportion of covariate variance explained by cognition
     per test dataset, where the alternative truth defines one
-    (single_trial_alpha_not_scaled.py:1108-1129)."""
+    (single_trial_alpha_not_scaled.py:1108-1129). Centering shifts the
+    covariate's mean only, so the variance decomposition is shared by
+    all three model conventions."""
     if case in ("self", "fine_dt"):
         # std_alpha^2 / (std_alpha^2 + sigma1^2), slots 4 and 6
         return theta[:, 4] ** 2 / (theta[:, 4] ** 2 + theta[:, 6] ** 2)
@@ -90,8 +143,8 @@ def _true_pcv(case: str, theta: np.ndarray) -> np.ndarray | None:
         # "no boundary link" truth (:1108-1129)
         return np.zeros(theta.shape[0])
     if case == "scaled":
-        # ext = N(gamma*bound, sigma1): cognition explains
-        # gamma^2 std_alpha^2 of the covariate variance (gamma slot 7)
+        # ext = N(g*(bound-c), sigma1): cognition explains g^2 std_alpha^2
+        # of the covariate variance (gamma is the LAST slot)
         g = theta[:, 7]
         return (g * theta[:, 4]) ** 2 / (
             (g * theta[:, 4]) ** 2 + theta[:, 6] ** 2)
@@ -110,7 +163,10 @@ def _quantiles(x: np.ndarray) -> dict:
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt-dir", default=f"checkpoint/{FLAGSHIP}")
+    p.add_argument("--model", default=FLAGSHIP, choices=list(_CENTERING))
+    p.add_argument("--ckpt-dir", default=None,
+                   help="default: trained/<model> (falling back to "
+                        "checkpoint/<model>)")
     p.add_argument("--cases", nargs="*",
                    default=["self", "trial_dc", "scaled", "scaled2",
                             "fine_dt"])
@@ -127,13 +183,20 @@ def main(argv=None):
         print(f"output exists at {args.out}, skipping (delete to re-run)")
         return None
 
-    spec = zoo.get_model(FLAGSHIP)
+    spec = zoo.get_model(args.model)
+    ckpt = args.ckpt_dir
+    if ckpt is None:
+        ckpt = f"trained/{args.model}"
+        if not os.path.isdir(ckpt):
+            ckpt = f"checkpoint/{args.model}"
     cfg = TrainConfig(batch_size=256, steps=1, n_pad=spec.n_max,
-                      ckpt_dir=args.ckpt_dir)
+                      ckpt_dir=ckpt)
     trainer = Trainer(spec, cfg)
     state = trainer.maybe_restore(trainer.init())
+    if int(state.step) == 0:
+        raise SystemExit(f"no checkpoint under {ckpt}")
 
-    truths = alternative_truths()
+    truths = alternative_truths(args.model)
     results, dists_npz = {}, {}
     for case in args.cases:
         alt = truths[case]
@@ -182,7 +245,8 @@ def main(argv=None):
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
             from ..diagnostics import plots
-            pdir = os.path.join(args.plot_dir, FLAGSHIP, "misspecification")
+            pdir = os.path.join(args.plot_dir, args.model,
+                                "misspecification")
             os.makedirs(pdir, exist_ok=True)
             # per-case recovery scatter over the mapped slots (:1042-1100)
             srcs = [s for s in _PARAM_MAP[case] if s is not None]
@@ -202,7 +266,7 @@ def main(argv=None):
                 ax[0, 1].hist(pcv_mean - tpcv, bins=40, color="firebrick")
                 ax[0, 1].set_xlabel("bias (posterior mean - truth)")
                 ax[0, 1].axvline(0, color="k", lw=1)
-            fig.suptitle(f"{FLAGSHIP}: {case}")
+            fig.suptitle(f"{args.model}: {case}")
             fig.savefig(f"{pdir}/{case}_prop_cog_var.png", dpi=120)
             plt.close("all")
 

@@ -120,6 +120,18 @@ def test_imputation_app_tiny(tmp_path, monkeypatch):
     assert "drift" in metrics and "mu_alpha" in metrics
 
 
+def test_imputation_app_standnorm_tiny(tmp_path, monkeypatch):
+    """The retired standnorm imputation pipeline (imputation_from_stahl
+    .py:32): raw standardized covariate channel, Var_Alpha truth."""
+    monkeypatch.chdir(tmp_path)
+    csv = _write_fixture_csv(tmp_path / "fix.csv")
+    from bayesflow_nddms_tpu.apps.imputation import main
+    metrics = main(["--model", "single_trial_alpha_standnorm",
+                    "--csv", str(csv), "--draws", "16",
+                    "--ckpt-dir", str(tmp_path / "ck")])
+    assert "var_alpha" in metrics and "std_alpha" not in metrics
+
+
 @pytest.mark.slow
 def test_agreement_per_dataset_subset_tiny(tmp_path, monkeypatch):
     """--per-dataset + --only-datasets: the flagship marginal agreement
@@ -146,13 +158,49 @@ def test_misspecification_generators():
     import jax
     from bayesflow_nddms_tpu.apps.misspecification import alternative_truths
     from bayesflow_nddms_tpu.models.spec import generate_training_batch
-    for name, spec in alternative_truths().items():
-        if name == "fine_dt":
-            continue  # 4000-step sim is slow on CPU; covered on TPU runs
-        theta, data, mask, log_n = generate_training_batch(
-            spec, jax.random.PRNGKey(0), 2, 32)
-        assert data.shape == (2, 32, 2), name
-        assert np.isfinite(np.asarray(data)).all(), name
+    for model in ("single_trial_alpha_not_scaled",
+                  "single_trial_alpha_standard",
+                  "single_trial_alpha_fixed"):
+        for name, spec in alternative_truths(model).items():
+            if name == "fine_dt":
+                continue  # 4000-step sim is slow on CPU; TPU runs cover it
+            theta, data, mask, log_n = generate_training_batch(
+                spec, jax.random.PRNGKey(0), 2, 32)
+            assert data.shape == (2, 32, 2), (model, name)
+            assert np.isfinite(np.asarray(data)).all(), (model, name)
+
+
+def test_misspecification_centering_conventions():
+    """The scaled/trial_dc alternative truths must carry each model's own
+    covariate centering: mean ~ 0 for standard/fixed (the reference's
+    'mean of extdata1 is always zero' design, _standard.py:114-117),
+    positive-mean for the flagship."""
+    import jax
+    import jax.numpy as jnp
+    from bayesflow_nddms_tpu.apps.misspecification import (_scaled_spec,
+                                                           _trial_dc_spec)
+    key = jax.random.PRNGKey(4)
+    for model, centered in [("single_trial_alpha_not_scaled", False),
+                            ("single_trial_alpha_standard", True),
+                            ("single_trial_alpha_fixed", True)]:
+        spec = _scaled_spec(model, gamma_fixed=2.0)
+        th = jnp.asarray([[1.0, 1.0, 0.5, 0.3, 0.2, 1.0, 0.3]], jnp.float32)
+        data = spec.simulate(key, th, 4000)
+        ext_mean = float(np.asarray(data[0, :, 1]).mean())
+        # fixed centers at gamma*1 with mu_alpha = 1 -> also ~0 here
+        assert (abs(ext_mean) < 0.25) == centered or not centered, model
+        if centered:
+            assert abs(ext_mean) < 0.25, (model, ext_mean)
+        else:
+            assert ext_mean > 1.0, (model, ext_mean)
+        tdc = _trial_dc_spec(model)
+        data2 = tdc.simulate(key, jnp.asarray(
+            [[1.0, 1.2, 0.5, 0.3, 0.2, 1.0, 0.3]], jnp.float32), 4000)
+        ext2 = float(np.asarray(data2[0, :, 1]).mean())
+        if centered:
+            assert abs(ext2) < 0.25, (model, ext2)
+        else:
+            assert ext2 > 0.5, (model, ext2)
 
 
 def test_simulations_sweeps_monotonicity():
