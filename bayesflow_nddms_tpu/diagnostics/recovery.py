@@ -116,8 +116,8 @@ def run_recovery_study_streaming(
         spec: ModelSpec, amortizer, params, key: Array,
         num_test: int = 12_000, n_draws: int = 10_000, batch: int = 128,
         n_pad: Optional[int] = None, workdir: Optional[str] = None,
-        log_every: int = 10, fingerprint_extra: Optional[dict] = None
-        ) -> StreamingStudy:
+        log_every: int = 10, fingerprint_extra: Optional[dict] = None,
+        mesh=None) -> StreamingStudy:
     """Reference-scale recovery study (12,000 test datasets x 10,000 draws,
     single_trial_alpha_not_scaled.py:297-309) without materializing the
     (num_test, n_draws, P) sample tensor on the host: posterior means/SDs
@@ -126,31 +126,60 @@ def run_recovery_study_streaming(
     a restarted study resumes at the first missing chunk — the reference's
     artifact-existence skip pattern (alpha_not_scaled.py:52,230-256) at
     chunk granularity. The first chunk's full draws are kept for figures.
+
+    ``mesh`` (a 1-D ``jax.sharding.Mesh``) shards each chunk's dataset
+    axis over the devices via ``shard_map`` — the study is embarrassingly
+    data-parallel (every dataset simulates, samples, and rank-reduces
+    independently; the only cross-device traffic is the gather of the
+    per-chunk (batch, P) summaries). ``batch`` must divide by the mesh
+    size. Default: all visible devices (a 1-device mesh on a single
+    chip reproduces the unsharded behavior).
     """
     import json
     import os
+    from jax import lax
+    from jax.sharding import PartitionSpec as P_
+    from ..parallel.mesh import DATA_AXIS, make_mesh
     if n_pad is None:
         n_pad = spec.n_max
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if batch % n_dev:
+        raise ValueError(f"study batch {batch} not divisible by "
+                         f"{n_dev} devices")
+    local = batch // n_dev
 
     # Chunks are only reusable under the exact same configuration; a
     # fingerprint in every chunk file stops a changed seed/model/checkpoint
     # from silently mixing stale chunks into the metrics (ADVICE r2 #2).
+    # n_dev participates because the per-device RNG split changes the
+    # simulated datasets (not their law) with the mesh size.
     fingerprint = json.dumps({
         "spec": spec.name, "batch": batch, "n_draws": n_draws,
         "n_pad": n_pad, "key": np.asarray(key).tolist(),
+        **({"n_dev": n_dev} if n_dev > 1 else {}),
         **(fingerprint_extra or {})}, sort_keys=True)
 
-    @jax.jit
-    def one_chunk(k, net_params):
+    def _chunk_impl(k, net_params):
+        if n_dev > 1:
+            k = jax.random.fold_in(k, lax.axis_index(DATA_AXIS))
         k_sim, k_draw = jax.random.split(k)
         theta, data, mask, log_n = generate_training_batch(
-            spec, k_sim, batch, n_pad)
+            spec, k_sim, local, n_pad)
         samp = amortizer.apply(net_params, k_draw, data, mask, log_n,
                                n_draws, method="sample")
         post_mean = samp.mean(axis=1)
         post_sd = samp.std(axis=1)
         ranks = (samp < theta[:, None, :]).sum(axis=1)
         return theta, post_mean, post_sd, ranks, jnp.exp(log_n[:, 0]), samp
+
+    if n_dev == 1:
+        one_chunk = jax.jit(_chunk_impl)
+    else:
+        one_chunk = jax.jit(jax.shard_map(
+            _chunk_impl, mesh=mesh, in_specs=(P_(), P_()),
+            out_specs=P_(DATA_AXIS), check_vma=False))
 
     n_chunks = -(-num_test // batch)
     acc = {"theta": [], "mean": [], "sd": [], "ranks": [], "n": []}

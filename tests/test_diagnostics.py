@@ -61,6 +61,42 @@ def test_flipstanout_axis_convention():
     assert out["v"].shape == (3, 100, 6)
 
 
+def test_streaming_study_sharded_mesh(tmp_path):
+    """The streaming recovery study shard_maps each chunk's dataset axis
+    over the mesh (VERDICT r3 #7). Mechanics on the fake 8-device mesh:
+    shapes, finiteness, chunk-resume equality with the sharded fingerprint.
+    """
+    import jax
+    from bayesflow_nddms_tpu.models import zoo
+    from bayesflow_nddms_tpu.nets.amortizer import build_amortizer
+    from bayesflow_nddms_tpu.parallel.mesh import make_mesh
+    spec = zoo.get_model("basic_ddm_dc")
+    am = build_amortizer(spec)
+    key = jax.random.PRNGKey(0)
+    theta = spec.sample_prior(key, 2)
+    import jax.numpy as jnp
+    mask = jnp.ones((2, 64), bool)
+    data = spec.simulate(key, theta, 64, active=mask)
+    log_n = jnp.full((2, 1), np.log(64.0), jnp.float32)
+    params = am.init(key, theta, data, mask, log_n)
+    mesh = make_mesh()          # 8 fake devices under the test conftest
+    assert mesh.devices.size == 8
+    wd = str(tmp_path / "study")
+    study = rec.run_recovery_study_streaming(
+        spec, am, params, key, num_test=16, n_draws=32, batch=16,
+        n_pad=64, workdir=wd, log_every=0, mesh=mesh)
+    assert study.true_params.shape == (16, 5)
+    assert study.ranks.shape == (16, 5)
+    assert np.all((study.ranks >= 0) & (study.ranks <= 32))
+    assert np.isfinite(study.post_mean).all()
+    # resume from the stored chunk reproduces the identical reduction
+    study2 = rec.run_recovery_study_streaming(
+        spec, am, params, key, num_test=16, n_draws=32, batch=16,
+        n_pad=64, workdir=wd, log_every=0, mesh=mesh)
+    np.testing.assert_array_equal(study.ranks, study2.ranks)
+    np.testing.assert_array_equal(study.post_mean, study2.post_mean)
+
+
 def test_recovery_metrics_perfect_and_noise():
     rng = np.random.default_rng(5)
     truth = rng.normal(size=(200, 2))
