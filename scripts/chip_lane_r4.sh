@@ -98,5 +98,6 @@ done
 # ---- stage D: cheap measurement artifacts -------------------------------
 run pallas_kbig_sweep_r4 results/pallas_kbig_sweep_r4.json -- python scripts/kbig_sweep_r4.py
 run train_step_ms_r4 results/train_step_ms_r4.json -- python scripts/train_step_ms_r4.py
+run evidence_mask_bench_r4 results/evidence_mask_bench_r4.json -- python scripts/evidence_mask_bench_r4.py
 
 echo "CHIP LANE COMPLETE $(date -u)"
