@@ -83,7 +83,8 @@ def main(argv=None):
         return None
 
     import pandas as pd
-    df = pd.read_csv(args.csv)
+    from ..data.stahl import resolve_csv
+    df = pd.read_csv(resolve_csv(args.csv))
     rng = np.random.default_rng(args.seed)
     pe = df["pre_Pe"].to_numpy(np.float64).copy()
     subj = df["subj_idx"].to_numpy()

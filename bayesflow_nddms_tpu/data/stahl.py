@@ -25,6 +25,20 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+def resolve_csv(path: str) -> str:
+    """Resolve a Stahl CSV path: as given if it exists, else the same
+    relative path under the reference checkout (the data assets are read
+    in place from ``/root/reference/stahl_data/``, SURVEY.md §2.6)."""
+    import os
+    if os.path.exists(path):
+        return path
+    alt = os.path.join("/root/reference", path)
+    if not os.path.isabs(path) and os.path.exists(alt):
+        return alt
+    raise FileNotFoundError(
+        f"Stahl CSV not found at {path!r} (also tried {alt!r})")
+
+
 @dataclasses.dataclass
 class StahlData:
     subj: np.ndarray           # (T,) participant labels
@@ -54,6 +68,7 @@ def alpha_scale(z: np.ndarray) -> np.ndarray:
 
 def load_stahl_csv(path: str, seed: int = 2024) -> StahlData:
     from ..utils import native
+    path = resolve_csv(path)
     cols = native.parse_stahl_csv(path) if native.available() else None
     if cols is None:       # pure-Python fallback for the native reader
         import pandas as pd

@@ -1,0 +1,63 @@
+#!/bin/bash
+# Scan round-4 20k recovery artifacts for flagged SBC marginals
+# (p < .05) and run the round-3 protocol's 40k replication for each
+# flagged model. Artifact-resumable like the main lane.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/.axon_site:/root/repo
+mkdir -p results/logs
+
+flagged=$(python - <<'PY'
+import glob
+import json
+models = []
+for f in sorted(glob.glob("results/recovery_*_20k_r4.json")):
+    d = json.load(open(f))
+    bad = {k: round(v, 4) for k, v in d["sbc_pvalues"].items() if v < 0.05}
+    if bad:
+        print(f"# {d['model']}: {bad}", flush=True)
+        models.append(d["model"])
+import sys
+print(" ".join(models))
+PY
+)
+echo "$flagged"
+models=$(echo "$flagged" | tail -1)
+for m in $models; do
+  out="results/recovery_${m}_40k_r4.json"
+  if [ -f "$out" ]; then echo "skip $m ($out exists)"; continue; fi
+  echo "=== $(date -u +%H:%M:%S) 40k replication: $m ==="
+  timeout 10000 python -m bayesflow_nddms_tpu.apps.recovery_study \
+    --model "$m" --steps 40000 --num-test 2000 --draws 1000 \
+    --ckpt-dir "trained/${m}_40k_r4" --no-plots \
+    --out "$out" > "results/logs/queue_${m}_40k_r4.log" 2>&1
+  echo "=== $(date -u +%H:%M:%S) done $m rc=$? ==="
+done
+# retry the standnorm imputation (first lane pass predated the CSV
+# reference-path fallback)
+if [ ! -f results/imputation_standnorm_r4.npz ]; then
+  echo "=== $(date -u +%H:%M:%S) imputation standnorm retry ==="
+  timeout 4000 python -m bayesflow_nddms_tpu.apps.imputation \
+    --model single_trial_alpha_standnorm \
+    --ckpt-dir trained/single_trial_alpha_standnorm_20k_r4 \
+    --out results/imputation_standnorm_r4.npz \
+    > results/logs/imputation_standnorm_r4.log 2>&1
+  echo "=== done rc=$? ==="
+fi
+
+# NeuTra re-fit of the eta agreement (plain NUTS left 2-3 of 16 datasets
+# at Rhat up to 14; PSIS khat <= 0.42 on all of them says the flow
+# transport is good everywhere, so NeuTra should converge the holdouts)
+if [ ! -f results/agreement_eta_dc_neutra_r4.json ]; then
+  echo "=== $(date -u +%H:%M:%S) agreement eta NeuTra ==="
+  timeout 10000 python -m bayesflow_nddms_tpu.apps.agreement \
+    --model basic_ddm_eta_dc --num-datasets 16 --draws 2000 \
+    --chains 8 --warmup 700 --samples 2500 --max-depth 8 --neutra \
+    --ckpt-dir trained/basic_ddm_eta_dc_20k_r4 \
+    --nuts-checkpoint results/logs/agreement_eta_neutra_nuts_r4 \
+    --out results/agreement_eta_dc_neutra_r4.npz \
+    --json-out results/agreement_eta_dc_neutra_r4.json \
+    > results/logs/agreement_eta_dc_neutra_r4.log 2>&1
+  echo "=== done rc=$? ==="
+fi
+echo "FOLLOWUPS COMPLETE $(date -u)"
