@@ -177,6 +177,8 @@ def main(argv=None):
     p.add_argument("--no-plots", action="store_true")
     p.add_argument("--out", default=None,
                    help="npz path for the full per-dataset distributions")
+    p.add_argument("--json-out", default=None,
+                   help="summary JSON path (per-case metrics)")
     args = p.parse_args(argv)
     if args.out and os.path.exists(args.out):
         # artifact-existence resume (alpha_not_scaled.py:52,230-256)
@@ -273,6 +275,10 @@ def main(argv=None):
     print(json.dumps(results, indent=2))
     if args.out:
         np.savez(args.out, **dists_npz)
+    if args.json_out:
+        with open(args.json_out + ".tmp", "w") as f:
+            json.dump({"model": args.model, **results}, f, indent=2)
+        os.replace(args.json_out + ".tmp", args.json_out)
     return results
 
 
