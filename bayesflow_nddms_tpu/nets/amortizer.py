@@ -124,8 +124,14 @@ class AmortizedPosterior(nn.Module):
         return jnp.min(jnp.where(pos, rt, jnp.inf), axis=-1)
 
     def _coord_bounds(self, data: Array, mask: Array):
-        """Per-dataset (lo, hi) arrays of shape (B, P)."""
+        """Per-dataset (lo, hi) arrays of shape (B, P). With the logit
+        coordinates disabled (dependent-prior specs, theta_low=None) the
+        bounds are unused by the transforms — return placeholders so the
+        shared call sites stay uniform."""
         B = data.shape[0]
+        if self._bounded is None:
+            z = jnp.zeros((B, self.n_params), jnp.float32)
+            return z, z
         lo = jnp.broadcast_to(self._lo, (B, self.n_params))
         hi = jnp.broadcast_to(self._hi, (B, self.n_params))
         if self.ndt_index is not None:

@@ -33,6 +33,28 @@ for m in $models; do
     --out "$out" > "results/logs/queue_${m}_40k_r4.log" 2>&1
   echo "=== $(date -u +%H:%M:%S) done $m rc=$? ==="
 done
+# retrain any zoo spec whose 20k pass failed in the main lane (e.g. the
+# dependent-prior amortizer regression fixed mid-round)
+all_models=$(PYTHONPATH=/root/.axon_site:/root/repo python -c "
+import jax; jax.config.update('jax_platforms', 'cpu')
+from bayesflow_nddms_tpu.models import zoo
+skip = {'basic_ddm_dc', 'single_trial_alpha_not_scaled',
+        'single_trial_drift_alpha2', 'single_trial_drift_alpha_base',
+        'single_trial_drift_dc2', 'single_trial_drift_dc3',
+        'single_trial_drift_dc4', 'single_trial_drift_dc5',
+        'single_trial_drift_dc6'}
+print(' '.join(m for m in zoo.list_models() if m not in skip))")
+for m in $all_models; do
+  out="results/recovery_${m}_20k_r4.json"
+  if [ -f "$out" ]; then continue; fi
+  echo "=== $(date -u +%H:%M:%S) retrain (missing): $m ==="
+  timeout 10000 python -m bayesflow_nddms_tpu.apps.recovery_study \
+    --model "$m" --steps 20000 --num-test 2000 --draws 1000 \
+    --ckpt-dir "trained/${m}_20k_r4" --no-plots \
+    --out "$out" > "results/logs/queue_${m}_20k_r4.log" 2>&1
+  echo "=== $(date -u +%H:%M:%S) done $m rc=$? ==="
+done
+
 # retry the standnorm imputation (first lane pass predated the CSV
 # reference-path fallback)
 if [ ! -f results/imputation_standnorm_r4.npz ]; then

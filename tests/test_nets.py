@@ -89,6 +89,33 @@ def test_amortizer_end_to_end_shapes():
     assert abs(drift.mean()) < 4 * float(s[0]) / np.sqrt(200)
 
 
+def test_amortizer_dependent_prior_specs():
+    """Specs with prior_transform (alpha_mean, not_scaled3) disable the
+    logit coordinates (theta_low=None): loss/sample/log_prob must still
+    work in plain standardized coordinates (round-4 regression — the
+    shared _coord_bounds assumed the logit path existed)."""
+    for name in ("single_trial_alpha_mean", "single_trial_alpha_not_scaled3"):
+        spec = zoo.get_model(name)
+        amort = build_amortizer(spec)
+        assert amort.theta_low is None, name
+        B, N = 3, 48
+        key = jax.random.PRNGKey(1)
+        theta = spec.sample_prior(key, B)
+        data = spec.simulate(key, theta, N)
+        mask = jnp.ones((B, N), bool)
+        log_n = jnp.full((B, 1), jnp.log(float(N)))
+        params = amort.init(key, theta, data, mask, log_n)
+        loss = amort.apply(params, theta, data, mask, log_n)
+        assert np.isfinite(float(loss)), name
+        samples = amort.apply(params, key, data, mask, log_n, 20,
+                              method="sample")
+        assert samples.shape == (B, 20, spec.n_params), name
+        assert np.all(np.isfinite(np.asarray(samples))), name
+        lp = amort.apply(params, theta, data, mask, log_n,
+                         method="log_prob")
+        assert np.all(np.isfinite(np.asarray(lp))), name
+
+
 def test_sample_in_support_and_below_min_rt():
     """Bounded parameters are sampled in logit coordinates, so every draw
     lies inside the prior support BY CONSTRUCTION (no clamp involved), and
