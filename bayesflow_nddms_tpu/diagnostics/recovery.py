@@ -85,7 +85,10 @@ def run_recovery_study(spec: ModelSpec, amortizer, params, key: Array,
             spec, k_sim, batch, n_pad)
         samp = amortizer.apply(net_params, k_draw, data, mask, log_n,
                                n_draws, method="sample")
-        return theta, samp, jnp.exp(log_n[:, 0])
+        # truth and draws leave the amortizer's raw coordinates here:
+        # report in model coordinates (identity unless prior_transform)
+        return (spec.to_model_coords(theta), spec.to_model_coords(samp),
+                jnp.exp(log_n[:, 0]))
 
     thetas, samps, ns = [], [], []
     n_chunks = -(-num_test // batch)
@@ -169,6 +172,10 @@ def run_recovery_study_streaming(
             spec, k_sim, local, n_pad)
         samp = amortizer.apply(net_params, k_draw, data, mask, log_n,
                                n_draws, method="sample")
+        # model coordinates for all reported quantities (see one_chunk in
+        # run_recovery_study)
+        theta = spec.to_model_coords(theta)
+        samp = spec.to_model_coords(samp)
         post_mean = samp.mean(axis=1)
         post_sd = samp.std(axis=1)
         ranks = (samp < theta[:, None, :]).sum(axis=1)

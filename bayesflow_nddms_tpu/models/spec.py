@@ -100,14 +100,32 @@ class ModelSpec:
 
     # ---- priors -----------------------------------------------------------
 
-    def sample_prior(self, key: Array, batch: int) -> Array:
-        """Draw (batch, n_params) from the independent marginal priors."""
+    def sample_prior_raw(self, key: Array, batch: int) -> Array:
+        """Draw (batch, n_params) from the independent marginal priors,
+        WITHOUT applying ``prior_transform``. These raw coordinates are
+        the amortizer's native space: every marginal has a known support,
+        so the logit-coordinate machinery (incl. the per-dataset ter
+        bound) applies to dependent-prior specs too (round 4 — modelling
+        the transformed gamma = u/std_alpha directly reproduced the
+        round-2 raw-coordinate ter SBC failure, p = 3e-4 at 2,000)."""
         keys = jax.random.split(key, self.n_params)
         cols = [d.sample(k, (batch,)) for d, k in zip(self.prior, keys)]
-        theta = jnp.stack(cols, axis=-1)
+        return jnp.stack(cols, axis=-1)
+
+    def sample_prior(self, key: Array, batch: int) -> Array:
+        """Draw (batch, n_params) from the prior in MODEL coordinates
+        (``prior_transform`` applied)."""
+        theta = self.sample_prior_raw(key, batch)
         if self.prior_transform is not None:
             theta = self.prior_transform(theta)
         return theta
+
+    def to_model_coords(self, theta_raw: Array) -> Array:
+        """Raw prior coordinates -> model coordinates (identity for
+        independent-prior specs)."""
+        if self.prior_transform is None:
+            return theta_raw
+        return self.prior_transform(theta_raw)
 
     def prior_log_prob(self, theta: Array) -> Array:
         """Sum of marginal log-densities, theta (..., n_params) -> (...)."""
@@ -237,7 +255,11 @@ def generate_training_batch(spec: ModelSpec, key: Array, batch: int,
     if n_pad is None:
         n_pad = spec.n_max
     k_theta, k_n, k_sim = jax.random.split(key, 3)
-    theta = spec.sample_prior(k_theta, batch)
+    # theta is returned in RAW prior coordinates (the amortizer's native
+    # space; identical to model coordinates unless the spec has a
+    # prior_transform) — simulation uses the model coordinates.
+    theta = spec.sample_prior_raw(k_theta, batch)
+    theta_sim = spec.to_model_coords(theta)
 
     groups = _n_buckets(spec, batch, n_pad)
     ns, datas, masks = [], [], []
@@ -247,7 +269,7 @@ def generate_training_batch(spec: ModelSpec, key: Array, batch: int,
                                  n_lo, n_hi + 1)
         mask_b = trial_mask(n_b, pad_b)
         data_b = spec.simulate(jax.random.fold_in(k_sim, b),
-                               theta[start:start + size], pad_b,
+                               theta_sim[start:start + size], pad_b,
                                active=mask_b)
         if pad_b < n_pad:
             grow = ((0, 0), (0, n_pad - pad_b))

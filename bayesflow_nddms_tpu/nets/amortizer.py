@@ -264,33 +264,32 @@ def build_amortizer(spec) -> AmortizedPosterior:
 
     Bounded parameters get logit coordinates over the prior support (the
     non-decision time 'ter', when present, additionally bounded per
-    dataset by min rt) — except for specs with a ``prior_transform``
-    (dependent priors like gamma ~ U(0, 1/std_alpha)), where the raw
-    marginal supports don't describe the transformed parameters, so the
-    identity coordinates and the support clamp are used instead.
+    dataset by min rt). Specs with a ``prior_transform`` (dependent
+    priors like gamma ~ U(0, 1/std_alpha)) are modelled in their RAW
+    prior coordinates — every raw marginal has a known support, so the
+    same logit machinery applies; ``generate_training_batch`` supplies
+    raw targets and the study/report layers push draws through
+    ``spec.to_model_coords`` (round 4: modelling transformed gamma
+    directly reproduced the round-2 raw-coordinate ter SBC failure).
     """
     m, s = spec.prior_moments()
-    if spec.prior_transform is None:
-        low = tuple(float(d.support[0]) for d in spec.prior)
-        high = tuple(float(d.support[1]) for d in spec.prior)
-        u_mom = [(_logit_prior_moments(d, lo_, hi_)
-                  if np.isfinite(lo_) and np.isfinite(hi_) else (0.0, 1.0))
-                 for d, lo_, hi_ in zip(spec.prior, low, high)]
-        u_mean = [x[0] for x in u_mom]
-        u_std = [x[1] for x in u_mom]
-        ndt_index = (spec.param_names.index("ter")
-                     if "ter" in spec.param_names else None)
-        if ndt_index is not None:
-            # ter's logit runs against the per-dataset min-rt bound, which
-            # sits just above ter at realistic trial counts: u is spread
-            # over roughly (0, 14) across the zoo (measured: dcDDM 4+-2,
-            # flagship 8.8+-2.9), not the prior-logit range
-            u_mean[ndt_index], u_std[ndt_index] = 5.0, 3.0
-        u_mean = tuple(u_mean)
-        u_std = tuple(u_std)
-    else:
-        low = high = u_mean = u_std = None
-        ndt_index = None
+    low = tuple(float(d.support[0]) for d in spec.prior)
+    high = tuple(float(d.support[1]) for d in spec.prior)
+    u_mom = [(_logit_prior_moments(d, lo_, hi_)
+              if np.isfinite(lo_) and np.isfinite(hi_) else (0.0, 1.0))
+             for d, lo_, hi_ in zip(spec.prior, low, high)]
+    u_mean = [x[0] for x in u_mom]
+    u_std = [x[1] for x in u_mom]
+    ndt_index = (spec.param_names.index("ter")
+                 if "ter" in spec.param_names else None)
+    if ndt_index is not None:
+        # ter's logit runs against the per-dataset min-rt bound, which
+        # sits just above ter at realistic trial counts: u is spread
+        # over roughly (0, 14) across the zoo (measured: dcDDM 4+-2,
+        # flagship 8.8+-2.9), not the prior-logit range
+        u_mean[ndt_index], u_std[ndt_index] = 5.0, 3.0
+    u_mean = tuple(u_mean)
+    u_std = tuple(u_std)
     return AmortizedPosterior(
         n_params=spec.n_params,
         theta_mean=tuple(float(x) for x in m),

@@ -293,6 +293,10 @@ class Trainer:
 
     def sample(self, state: State, key: Array, data: Array, mask: Array,
                log_n: Array, n_samples: int) -> Array:
-        """Amortized posterior draws (bf ``amortizer.sample`` parity)."""
-        return self.amortizer.apply(state.params, key, data, mask, log_n,
-                                    n_samples, method="sample")
+        """Amortized posterior draws in MODEL coordinates (bf
+        ``amortizer.sample`` parity; the amortizer itself works in raw
+        prior coordinates, identical unless the spec has a
+        ``prior_transform``)."""
+        draws = self.amortizer.apply(state.params, key, data, mask, log_n,
+                                     n_samples, method="sample")
+        return self.spec.to_model_coords(draws)

@@ -89,29 +89,42 @@ def test_amortizer_end_to_end_shapes():
     assert abs(drift.mean()) < 4 * float(s[0]) / np.sqrt(200)
 
 
-def test_amortizer_dependent_prior_specs():
-    """Specs with prior_transform (alpha_mean, not_scaled3) disable the
-    logit coordinates (theta_low=None): loss/sample/log_prob must still
-    work in plain standardized coordinates (round-4 regression — the
-    shared _coord_bounds assumed the logit path existed)."""
+def test_amortizer_dependent_prior_specs_raw_coordinates():
+    """Specs with prior_transform (alpha_mean, not_scaled3) are amortized
+    in RAW prior coordinates: the logit machinery (incl. the ter bound)
+    applies because every raw marginal has a known support, training
+    targets come back raw from generate_training_batch, and model-space
+    values are recovered through spec.to_model_coords (round 4: modelling
+    the transformed gamma = u/std_alpha directly reproduced the round-2
+    raw-coordinate ter SBC failure)."""
+    from bayesflow_nddms_tpu.models.spec import generate_training_batch
     for name in ("single_trial_alpha_mean", "single_trial_alpha_not_scaled3"):
         spec = zoo.get_model(name)
         amort = build_amortizer(spec)
-        assert amort.theta_low is None, name
-        B, N = 3, 48
+        assert amort.theta_low is not None, name
+        assert amort.ndt_index == spec.param_names.index("ter"), name
+        B, N = 4, 48
         key = jax.random.PRNGKey(1)
-        theta = spec.sample_prior(key, B)
-        data = spec.simulate(key, theta, N)
-        mask = jnp.ones((B, N), bool)
-        log_n = jnp.full((B, 1), jnp.log(float(N)))
-        params = amort.init(key, theta, data, mask, log_n)
-        loss = amort.apply(params, theta, data, mask, log_n)
+        theta_raw, data, mask, log_n = generate_training_batch(
+            spec, key, B, N)
+        # raw gamma slot is the U(0,1) draw, NOT u/std_alpha
+        g = np.asarray(theta_raw)[:, 6]
+        assert np.all((g >= 0.0) & (g <= 1.0)), name
+        tm = np.asarray(spec.to_model_coords(theta_raw))
+        np.testing.assert_allclose(tm[:, 6],
+                                   g / np.asarray(theta_raw)[:, 4],
+                                   rtol=1e-6)
+        params = amort.init(key, theta_raw, data, mask, log_n)
+        loss = amort.apply(params, theta_raw, data, mask, log_n)
         assert np.isfinite(float(loss)), name
         samples = amort.apply(params, key, data, mask, log_n, 20,
                               method="sample")
         assert samples.shape == (B, 20, spec.n_params), name
-        assert np.all(np.isfinite(np.asarray(samples))), name
-        lp = amort.apply(params, theta, data, mask, log_n,
+        s = np.asarray(samples)
+        assert np.all(np.isfinite(s)), name
+        # raw draws respect the raw supports by construction
+        assert np.all((s[..., 6] >= 0.0) & (s[..., 6] <= 1.0)), name
+        lp = amort.apply(params, theta_raw, data, mask, log_n,
                          method="log_prob")
         assert np.all(np.isfinite(np.asarray(lp))), name
 
