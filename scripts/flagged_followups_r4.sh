@@ -1,41 +1,21 @@
 #!/bin/bash
-# Scan round-4 20k recovery artifacts for flagged SBC marginals
-# (p < .05) and run the round-3 protocol's 40k replication for each
-# flagged model. Artifact-resumable like the main lane.
+# Round-4 follow-up chip queue, in value order:
+#   1. retrain any zoo spec whose 20k lane pass failed (e.g. the
+#      dependent-prior amortizer regression fixed mid-round);
+#   2. retry the standnorm imputation (predated the CSV path fallback);
+#   3. NeuTra re-fit of the eta agreement (plain NUTS left 2-3 of 16
+#      datasets at Rhat up to 14; PSIS khat <= .42 everywhere says the
+#      transport is good, so NeuTra should converge the holdouts);
+#   4. 40k replications for every flagged SBC marginal (round-3
+#      protocol), most-severe flags first.
+# Artifact-resumable like the main lane.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/.axon_site:/root/repo
 mkdir -p results/logs
 
-flagged=$(python - <<'PY'
-import glob
-import json
-models = []
-for f in sorted(glob.glob("results/recovery_*_20k_r4.json")):
-    d = json.load(open(f))
-    bad = {k: round(v, 4) for k, v in d["sbc_pvalues"].items() if v < 0.05}
-    if bad:
-        print(f"# {d['model']}: {bad}", flush=True)
-        models.append(d["model"])
-import sys
-print(" ".join(models))
-PY
-)
-echo "$flagged"
-models=$(echo "$flagged" | tail -1)
-for m in $models; do
-  out="results/recovery_${m}_40k_r4.json"
-  if [ -f "$out" ]; then echo "skip $m ($out exists)"; continue; fi
-  echo "=== $(date -u +%H:%M:%S) 40k replication: $m ==="
-  timeout 10000 python -m bayesflow_nddms_tpu.apps.recovery_study \
-    --model "$m" --steps 40000 --num-test 2000 --draws 1000 \
-    --ckpt-dir "trained/${m}_40k_r4" --no-plots \
-    --out "$out" > "results/logs/queue_${m}_40k_r4.log" 2>&1
-  echo "=== $(date -u +%H:%M:%S) done $m rc=$? ==="
-done
-# retrain any zoo spec whose 20k pass failed in the main lane (e.g. the
-# dependent-prior amortizer regression fixed mid-round)
-all_models=$(PYTHONPATH=/root/.axon_site:/root/repo python -c "
+# ---- 1. retrains ---------------------------------------------------------
+all_models=$(python -c "
 import jax; jax.config.update('jax_platforms', 'cpu')
 from bayesflow_nddms_tpu.models import zoo
 skip = {'basic_ddm_dc', 'single_trial_alpha_not_scaled',
@@ -55,8 +35,7 @@ for m in $all_models; do
   echo "=== $(date -u +%H:%M:%S) done $m rc=$? ==="
 done
 
-# retry the standnorm imputation (first lane pass predated the CSV
-# reference-path fallback)
+# ---- 2. imputation retry -------------------------------------------------
 if [ ! -f results/imputation_standnorm_r4.npz ]; then
   echo "=== $(date -u +%H:%M:%S) imputation standnorm retry ==="
   timeout 4000 python -m bayesflow_nddms_tpu.apps.imputation \
@@ -67,9 +46,7 @@ if [ ! -f results/imputation_standnorm_r4.npz ]; then
   echo "=== done rc=$? ==="
 fi
 
-# NeuTra re-fit of the eta agreement (plain NUTS left 2-3 of 16 datasets
-# at Rhat up to 14; PSIS khat <= 0.42 on all of them says the flow
-# transport is good everywhere, so NeuTra should converge the holdouts)
+# ---- 3. eta agreement, NeuTra --------------------------------------------
 if [ ! -f results/agreement_eta_dc_neutra_r4.json ]; then
   echo "=== $(date -u +%H:%M:%S) agreement eta NeuTra ==="
   timeout 10000 python -m bayesflow_nddms_tpu.apps.agreement \
@@ -82,4 +59,31 @@ if [ ! -f results/agreement_eta_dc_neutra_r4.json ]; then
     > results/logs/agreement_eta_dc_neutra_r4.log 2>&1
   echo "=== done rc=$? ==="
 fi
+
+# ---- 4. 40k replications, most-severe flag first -------------------------
+flagged=$(python - <<'PY'
+import glob
+import json
+rows = []
+for f in sorted(glob.glob("results/recovery_*_20k_r4.json")):
+    d = json.load(open(f))
+    bad = {k: round(v, 4) for k, v in d["sbc_pvalues"].items() if v < 0.05}
+    if bad:
+        print(f"# {d['model']}: {bad}")
+        rows.append((min(bad.values()), d["model"]))
+print(" ".join(m for _, m in sorted(rows)))
+PY
+)
+echo "$flagged"
+models=$(echo "$flagged" | tail -1)
+for m in $models; do
+  out="results/recovery_${m}_40k_r4.json"
+  if [ -f "$out" ]; then echo "skip $m ($out exists)"; continue; fi
+  echo "=== $(date -u +%H:%M:%S) 40k replication: $m ==="
+  timeout 10000 python -m bayesflow_nddms_tpu.apps.recovery_study \
+    --model "$m" --steps 40000 --num-test 2000 --draws 1000 \
+    --ckpt-dir "trained/${m}_40k_r4" --no-plots \
+    --out "$out" > "results/logs/queue_${m}_40k_r4.log" 2>&1
+  echo "=== $(date -u +%H:%M:%S) done $m rc=$? ==="
+done
 echo "FOLLOWUPS COMPLETE $(date -u)"
