@@ -280,8 +280,13 @@ def build_amortizer(spec) -> AmortizedPosterior:
              for d, lo_, hi_ in zip(spec.prior, low, high)]
     u_mean = [x[0] for x in u_mom]
     u_std = [x[1] for x in u_mom]
-    ndt_index = (spec.param_names.index("ter")
-                 if "ter" in spec.param_names else None)
+    # the non-decision time is 'ter' in most specs but 'tau' in the
+    # single_trial_drift family (retired_models/single_trial_drift.py);
+    # missing it leaves the sharpest posteriors without the min-rt bound
+    # (measured: single_trial_drift_dc tau SBC p = 0.0 at 2,000 before
+    # this lookup covered 'tau')
+    ndt_index = next((spec.param_names.index(n) for n in ("ter", "tau")
+                      if n in spec.param_names), None)
     if ndt_index is not None:
         # ter's logit runs against the per-dataset min-rt bound, which
         # sits just above ter at realistic trial counts: u is spread

@@ -129,6 +129,21 @@ def test_amortizer_dependent_prior_specs_raw_coordinates():
         assert np.all(np.isfinite(np.asarray(lp))), name
 
 
+def test_ndt_index_covers_tau_specs():
+    """Every zoo spec with a non-decision time gets the per-dataset
+    min-rt bounded coordinate, whatever the parameter is named ('ter'
+    everywhere, 'tau' in the single_trial_drift family — missing it left
+    single_trial_drift_dc's tau SBC at p = 0.0)."""
+    for name in zoo.list_models():
+        spec = zoo.get_model(name)
+        ndt = [p for p in ("ter", "tau") if p in spec.param_names]
+        am = build_amortizer(spec)
+        if ndt:
+            assert am.ndt_index == spec.param_names.index(ndt[0]), name
+        else:
+            assert am.ndt_index is None, name
+
+
 def test_sample_in_support_and_below_min_rt():
     """Bounded parameters are sampled in logit coordinates, so every draw
     lies inside the prior support BY CONSTRUCTION (no clamp involved), and
