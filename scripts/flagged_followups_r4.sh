@@ -60,6 +60,33 @@ if [ ! -f results/agreement_eta_dc_neutra_r4.json ]; then
   echo "=== done rc=$? ==="
 fi
 
+# ---- 3b. cheap amortized-side extras (minutes each) ----------------------
+# misspecification for the second alpha variant (reference duplicates the
+# suite into _standard AND _fixed)
+if [ ! -f results/misspecification_fixed_r4.npz ]; then
+  echo "=== $(date -u +%H:%M:%S) misspecification fixed ==="
+  timeout 4000 python -m bayesflow_nddms_tpu.apps.misspecification \
+    --model single_trial_alpha_fixed \
+    --ckpt-dir trained/single_trial_alpha_fixed_20k_r4 \
+    --num-test 500 --draws 1000 --no-plots \
+    --out results/misspecification_fixed_r4.npz \
+    --json-out results/misspecification_fixed_r4.json \
+    > results/logs/misspecification_fixed_r4.log 2>&1
+  echo "=== done rc=$? ==="
+fi
+# PSIS for the SECOND drift-variability model with an exact likelihood
+if [ ! -f results/importance_drift2_r4.json ] \
+   && [ -d trained/single_trial_drift2_20k_r4 ]; then
+  echo "=== $(date -u +%H:%M:%S) importance drift2 ==="
+  timeout 4000 python -m bayesflow_nddms_tpu.apps.importance_check \
+    --model single_trial_drift2 --num-datasets 64 --draws 2000 \
+    --ckpt-dir trained/single_trial_drift2_20k_r4 \
+    --out results/importance_drift2_r4.npz \
+    --json-out results/importance_drift2_r4.json \
+    > results/logs/importance_drift2_r4.log 2>&1
+  echo "=== done rc=$? ==="
+fi
+
 # ---- 4. 40k replications, most-severe flag first -------------------------
 flagged=$(python - <<'PY'
 import glob
