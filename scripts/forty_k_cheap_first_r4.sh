@@ -20,7 +20,24 @@ CHEAP="single_trial_alpha_dc single_trial_alpha_dc2 \
   single_trial_alpha basic_ddm_eta_dc single_trial_alpha_dc_not_scaled"
 HEAVY="basic_ddm_dc_evidence_trainlow basic_ddm_dc_evidence_no_noise"
 
-for m in $CHEAP $HEAVY; do
+for m in $CHEAP; do
+  out="results/recovery_${m}_40k_r4.json"
+  if [ -f "$out" ]; then echo "skip $m"; continue; fi
+  echo "=== $(date -u +%H:%M:%S) 40k replication: $m ==="
+  timeout 10000 python -m bayesflow_nddms_tpu.apps.recovery_study \
+    --model "$m" --steps 40000 --num-test 2000 --draws 1000 \
+    --ckpt-dir "trained/${m}_40k_r4" --no-plots \
+    --out "$out" > "results/logs/queue_${m}_40k_r4.log" 2>&1
+  echo "=== $(date -u +%H:%M:%S) done $m rc=$? ==="
+done
+
+# r4 re-emit of the round-3-validated specs (study-only, ~5 min each):
+# VERDICT r3 #1's done-criterion wants a results/recovery_*_r4.json for
+# EVERY zoo entry, with contraction bounds in-artifact
+bash scripts/reemit_r3_zoo_contraction_r4.sh
+
+# evidence-family 40k replications, time permitting (35-80 min each)
+for m in $HEAVY; do
   out="results/recovery_${m}_40k_r4.json"
   if [ -f "$out" ]; then echo "skip $m"; continue; fi
   echo "=== $(date -u +%H:%M:%S) 40k replication: $m ==="
