@@ -91,6 +91,45 @@ def test_certified_posterior_refit_flagged_dcddm():
     np.testing.assert_allclose(cp.sd()[i], r.sd)
 
 
+@pytest.mark.slow
+def test_certified_posterior_eta_model_plain_refit():
+    """The eta family rides the full certified pipeline: PSIS against the
+    closed-form Gaussian-drift marginal, and the generic spec-driven
+    PLAIN refit tier (khat_neutra_max=0 forces it) — mechanics only."""
+    spec = zoo.get_model("basic_ddm_eta_dc")
+    cfg = TrainConfig(batch_size=8, steps=1, n_pad=32,
+                      ckpt_dir="/nonexistent-ckpt")
+    trainer = Trainer(spec, cfg)
+    state = trainer.init()
+    key = jax.random.PRNGKey(5)
+    theta = jnp.asarray([[1.0, 1.2, 0.5, 0.3, 0.5, 1.0],
+                         [-0.5, 1.0, 0.5, 0.25, 0.4, 1.1]], jnp.float32)
+    mask = trial_mask(jnp.full((2,), 32, jnp.int32), 32)
+    data = spec.simulate(jax.random.fold_in(key, 1), theta, 32,
+                         active=mask)
+    log_n = jnp.log(jnp.full((2, 1), 32.0))
+    cp = CI.certified_posterior(
+        spec, trainer, state, data, mask, log_n, key, draws=16,
+        draw_chunk=16, refit_flagged=1, khat_neutra_max=0.0,
+        rhat_escalate=float("inf"),
+        refit_opts=dict(warmup=10, samples=6, chains=2, max_depth=3,
+                        chunk=8))
+    assert cp.khat.shape == (2,) and not np.isnan(cp.khat).any()
+    assert (~cp.certified).any()           # untrained flow at 16 draws
+    assert len(cp.refits) == 1
+    (i, r), = cp.refits.items()
+    assert r.method == "plain"
+    assert r.samples.shape == (6 * 2, spec.n_params)
+    assert np.isfinite(r.mean).all() and np.isfinite(r.sd).all()
+    # refit samples live in the model's support
+    for j, d_ in enumerate(spec.prior):
+        lo, hi = d_.support
+        if np.isfinite(lo):
+            assert r.samples[:, j].min() >= lo - 1e-5
+        if np.isfinite(hi):
+            assert r.samples[:, j].max() <= hi + 1e-5
+
+
 def test_split_refits_by_khat_bands():
     """Routing follows the measured khat bands: worst-first selection,
     khat < band -> NeuTra tier, saturated/inf/NaN -> plain tier."""
