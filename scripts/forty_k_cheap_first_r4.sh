@@ -18,7 +18,7 @@ CHEAP="single_trial_alpha_dc single_trial_alpha_dc2 \
   single_trial_drift_alpha single_trial_alpha_sepvar \
   single_trial_dc_not_scaled basic_ddm single_trial_alpha_scaled \
   single_trial_alpha basic_ddm_eta_dc single_trial_alpha_dc_not_scaled"
-HEAVY="basic_ddm_dc_evidence_trainlow basic_ddm_dc_evidence_no_noise"
+HEAVY="basic_ddm_dc_evidence_no_noise2 basic_ddm_dc_evidence_trainlow basic_ddm_dc_evidence_no_noise"
 
 for m in $CHEAP; do
   out="results/recovery_${m}_40k_r4.json"
