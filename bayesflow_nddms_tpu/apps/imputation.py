@@ -11,14 +11,19 @@ trial loop), the flagship amortizer fits the semi-synthetic data, and
 recovery of the imputed mu_alpha / std_alpha and the drawn parameters is
 reported (:232-336).
 
-``--model single_trial_alpha_standnorm`` rebuilds the RETIRED imputation
-pipelines (``retired_models/imputation_from_stahl.py:32`` and
-``imputation_from_stahl_standard.py``), which impute through the
-variance-parameterized standnorm model: the covariate channel fed to the
-net is the raw standardized Pe/c (``all_standard_Pe``, :64,207 — not the
-``(z+3)/3`` rescaling, which only builds the latent boundaries), and the
-recovered trial-variability truth is the imputed boundary VARIANCE
-(``Var_Alpha``, :151) rather than its SD.
+``--model single_trial_alpha_standnorm`` rebuilds the RETIRED
+``retired_models/imputation_from_stahl.py:32`` pipeline, which imputes
+through the variance-parameterized standnorm model: the covariate channel
+fed to the net is the raw standardized Pe/c (``all_standard_Pe``, :64,207
+— not the ``(z+3)/3`` rescaling, which only builds the latent
+boundaries), and the recovered trial-variability truth is the imputed
+boundary VARIANCE (``Var_Alpha``, :151) rather than its SD.
+
+``--model single_trial_alpha_standard`` rebuilds the RETIRED
+``retired_models/imputation_from_stahl_standard.py`` pipeline: same raw
+standardized Pe/c input channel (:68,211), fit through the mean-centered
+``single_trial_alpha_standard`` model, recovering the imputed boundary SD
+(``Std_Alpha``, :157).
 """
 
 from __future__ import annotations
@@ -65,7 +70,8 @@ def draw_participant_params(rng: np.random.Generator, nsubs: int):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default=FLAGSHIP,
-                   choices=[FLAGSHIP, "single_trial_alpha_standnorm"])
+                   choices=[FLAGSHIP, "single_trial_alpha_standard",
+                            "single_trial_alpha_standnorm"])
     p.add_argument("--csv", default="stahl_data/base_data.csv")
     p.add_argument("--ckpt-dir", default=None,
                    help="default: trained/<model> (falling back to "
@@ -107,9 +113,11 @@ def main(argv=None):
     # participants with more than n_max trials.
     spec = zoo.get_model(args.model)
     standnorm = args.model == "single_trial_alpha_standnorm"
-    # the standnorm net observes the RAW standardized Pe/c
-    # (imputation_from_stahl.py:64,207); the flagship the (z+3)/3 rescale
-    cov_trials = ((pe - pe.mean()) / pe.std()) if standnorm \
+    standard = args.model == "single_trial_alpha_standard"
+    # the standnorm/standard nets observe the RAW standardized Pe/c
+    # (imputation_from_stahl.py:64,207, imputation_from_stahl_standard.py
+    # :68,211); the flagship the (z+3)/3 rescale
+    cov_trials = ((pe - pe.mean()) / pe.std()) if (standnorm or standard) \
         else alpha_like_pe
     n_pad = spec.n_max
     counts = np.array([min((subj == pt).sum(), n_pad) for pt in parts])

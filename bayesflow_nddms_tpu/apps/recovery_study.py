@@ -21,7 +21,7 @@ import os
 import jax
 
 from ..diagnostics import plots
-from ..diagnostics.recovery import (contraction_identity,
+from ..diagnostics.recovery import (benjamini_hochberg, contraction_identity,
                                     run_recovery_study,
                                     run_recovery_study_streaming, sbc_ranks,
                                     sbc_interval_coverage,
@@ -95,6 +95,7 @@ def main(argv=None):
         sample_subset = study.param_samples[:500]
         true_subset = study.true_params[:500]
     sbc_p = sbc_uniformity_pvalue(ranks, args.draws)
+    sbc_q = benjamini_hochberg(sbc_p)   # within-model multiplicity control
     cov = sbc_interval_coverage(ranks, args.draws)
 
     result = {
@@ -106,6 +107,7 @@ def main(argv=None):
         else None,
         "metrics": study.metrics,
         "sbc_pvalues": {n: float(v) for n, v in zip(names, sbc_p)},
+        "sbc_qvalues": {n: float(v) for n, v in zip(names, sbc_q)},
         "interval_coverage": {
             n: {"50": float(cov[0, i]), "90": float(cov[1, i]),
                 "95": float(cov[2, i])} for i, n in enumerate(names)},

@@ -25,18 +25,46 @@ from typing import Optional, Sequence
 import numpy as np
 
 
-def resolve_csv(path: str) -> str:
+# sha256 of the vendored Stahl et al. CSVs (same files the reference
+# commits as stahl_data/*.csv) — a checksum mismatch means a corrupted or
+# substituted data asset and fails loudly rather than fitting wrong data.
+STAHL_SHA256 = {
+    "base_data.csv":
+        "28b94a3f79d4f75be8ba52427bb2c0f309d35fa804c5d7d77470e2ff4370f761",
+    "speed_data.csv":
+        "23b2307a56adc7bc114ff689bbadff103af7bd1df525e15f10535674b7152bb0",
+    "accuracy_data.csv":
+        "6648729b67b459629eca446fe72c1fec661c3a6400c9f359b3687c07decae97e",
+}
+
+
+def resolve_csv(path: str, verify: bool = True) -> str:
     """Resolve a Stahl CSV path: as given if it exists, else the same
-    relative path under the reference checkout (the data assets are read
-    in place from ``/root/reference/stahl_data/``, SURVEY.md §2.6)."""
+    relative path under this repo's vendored ``stahl_data/`` assets
+    (round 5 — the pipeline no longer depends on the reference checkout
+    existing), else under ``/root/reference`` as a last resort. Known
+    assets are checksum-verified (SURVEY.md §2.6)."""
+    import hashlib
     import os
-    if os.path.exists(path):
-        return path
-    alt = os.path.join("/root/reference", path)
-    if not os.path.isabs(path) and os.path.exists(alt):
-        return alt
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    candidates = [path]
+    if not os.path.isabs(path):
+        candidates += [os.path.join(repo_root, path),
+                       os.path.join("/root/reference", path)]
+    for cand in candidates:
+        if os.path.exists(cand):
+            base = os.path.basename(cand)
+            if verify and base in STAHL_SHA256:
+                digest = hashlib.sha256(
+                    open(cand, "rb").read()).hexdigest()
+                if digest != STAHL_SHA256[base]:
+                    raise ValueError(
+                        f"checksum mismatch for {cand}: {digest} != "
+                        f"pinned {STAHL_SHA256[base]}")
+            return cand
     raise FileNotFoundError(
-        f"Stahl CSV not found at {path!r} (also tried {alt!r})")
+        f"Stahl CSV not found at {path!r} (also tried {candidates[1:]!r})")
 
 
 @dataclasses.dataclass

@@ -317,6 +317,28 @@ def sbc_interval_coverage(ranks: np.ndarray, n_draws: int,
     return out
 
 
+def benjamini_hochberg(pvals: np.ndarray) -> np.ndarray:
+    """Benjamini-Hochberg step-up adjusted q-values.
+
+    With ~200 marginal SBC tests across the model zoo, ~10 raw p-values
+    below .05 are expected under perfect calibration; the BH q-value is
+    the smallest FDR at which a marginal would be rejected, so
+    ``min q > 0.05`` over a family of tests is the multiplicity-aware
+    version of "no miscalibration detected" (upgrade of the reference's
+    single-model eyeball check, pyhddmjagsutils.py:608-623). Preserves
+    the input shape; q_(i) = min_{j>=i} p_(j) * m / j, capped at 1.
+    """
+    p = np.asarray(pvals, np.float64)
+    flat = p.ravel()
+    m = flat.size
+    order = np.argsort(flat)
+    ranked = flat[order] * m / np.arange(1, m + 1)
+    q = np.minimum.accumulate(ranked[::-1])[::-1]
+    out = np.empty_like(flat)
+    out[order] = np.minimum(q, 1.0)
+    return out.reshape(p.shape)
+
+
 def sbc_uniformity_pvalue(ranks: np.ndarray, n_draws: int,
                           n_bins: int = 20) -> np.ndarray:
     """Chi-square goodness-of-fit p-value of SBC ranks vs uniform,

@@ -216,6 +216,148 @@ def _fp_kernel(seed_ref, drift_ref, bound_ref, beta_ref, dc_ref, active_ref,
     frac_ref[:] = frac_out
 
 
+def _fp_path_kernel(seed_ref, drift_ref, bound_ref, beta_ref, dc_ref,
+                    active_ref, steps_ref, choice_ref, path_ref, *,
+                    dt: float, max_steps: int, n_record: int):
+    """Path-recording EM walk (evidence family twin of
+    ``ddm_sim.first_passage_with_path``): plain Euler–Maruyama at ``dt``
+    (no bridge — the recorded path must BE the EM walk the observation
+    model assumes), the first ``n_record`` evidence values stored to
+    ``path_ref``, then a tail loop to absorption with per-block early
+    exit. Distributionally identical to the XLA twin; only the RNG stream
+    differs (hardware PRNG + Box-Muller vs threefry)."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    drift = drift_ref[:]
+    boundary = bound_ref[:]
+    sigma = dc_ref[:]
+    mu_s = drift * dt
+    sd_s = math.sqrt(dt) * sigma
+    is_act = active_ref[:]                      # f32 0/1 padded-lane mask
+    ev0 = boundary * beta_ref[:]
+    # padded lanes are born "crossed" (ev outside the open interval) but
+    # record 0.0 to the path like the XLA twin's zeroed lanes
+    ev0 = jnp.where(is_act > 0, ev0, -1.0)
+    shape = ev0.shape
+    t_cap = float(max_steps)
+
+    def activity(ev, t):
+        inside = jnp.where((ev > 0.0) & (ev < boundary), 1.0, 0.0)
+        return inside * jnp.where(t < t_cap, 1.0, 0.0)
+
+    def one_step(state, xi):
+        ev, t = state
+        act = activity(ev, t)
+        ev = ev + act * (mu_s + sd_s * xi)
+        return ev, t + act
+
+    def normals():
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        r = jnp.sqrt(-2.0 * jnp.log(_uniform01(bits1)))
+        th = _TWO_PI * _uniform01(bits2)
+        return r * jnp.cos(th), r * jnp.sin(th)
+
+    def rec_body(i, state):
+        xa, xb = normals()
+        state = one_step(state, xa)
+        path_ref[pl.ds(2 * i, 1)] = (state[0] * is_act)[None]
+        state = one_step(state, xb)
+        path_ref[pl.ds(2 * i + 1, 1)] = (state[0] * is_act)[None]
+        return state
+
+    state = jax.lax.fori_loop(
+        0, n_record // 2, rec_body,
+        (ev0, jnp.zeros(shape, jnp.float32)))
+
+    n_tail_iters = (max_steps - n_record + 1) // 2
+
+    def tail_body(carry):
+        it, state = carry
+        xa, xb = normals()
+        state = one_step(state, xa)
+        state = one_step(state, xb)
+        return it + 1, state
+
+    def tail_cond(carry):
+        it, (ev, t) = carry
+        return (it < n_tail_iters) & (jnp.max(activity(ev, t)) > 0.5)
+
+    _, (ev, t) = jax.lax.while_loop(tail_cond, tail_body, (0, state))
+
+    up = ev >= boundary
+    lo = ev <= 0.0
+    choice = jnp.where(up, 1.0, jnp.where(lo, -1.0, 0.0)) * is_act
+    steps_ref[:] = t
+    choice_ref[:] = choice
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "dt", "max_steps", "n_record", "block_rows"))
+def first_passage_with_path_pallas(
+    seed: Array,
+    drift: Array,
+    boundary: Array,
+    beta: Array,
+    dc: Array,
+    *,
+    shape: tuple[int, ...],
+    dt: float = 0.001,
+    max_steps: int = 4000,
+    n_record: int = 200,
+    active: Array | None = None,
+    block_rows: int | None = None,
+) -> tuple[FirstPassage, Array]:
+    """Pallas twin of ``ddm_sim.first_passage_with_path`` (ratio-1
+    recording). Returns ``(FirstPassage(steps, choice), path)`` with
+    ``path`` shaped ``(*shape, n_record)``. Block rows shrink with
+    ``n_record`` so the in-VMEM path block stays ~6.5 MB."""
+    assert n_record % 2 == 0 and (max_steps - n_record) % 2 == 0
+    f32 = jnp.float32
+    if block_rows is None:
+        block_rows = 64 if n_record <= 256 else 32
+    total = int(math.prod(shape))
+    block = block_rows * LANES
+    padded = -(-total // block) * block
+    rows = padded // LANES
+
+    def flat(x, fill=0.0):
+        x = jnp.broadcast_to(jnp.asarray(x, f32), shape).reshape(-1)
+        if padded != total:
+            x = jnp.concatenate(
+                [x, jnp.full((padded - total,), fill, f32)])
+        return x.reshape(rows, LANES)
+
+    act = jnp.ones(shape, f32) if active is None else active.astype(f32)
+
+    grid = rows // block_rows
+    bspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((n_record, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    out2d = jax.ShapeDtypeStruct((rows, LANES), f32)
+    out3d = jax.ShapeDtypeStruct((n_record, rows, LANES), f32)
+
+    steps, choice, path = pl.pallas_call(
+        functools.partial(_fp_path_kernel, dt=dt, max_steps=max_steps,
+                          n_record=n_record),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [bspec] * 5,
+        out_specs=(bspec, bspec, pspec),
+        out_shape=(out2d, out2d, out3d),
+    )(jnp.asarray(seed, jnp.int32).reshape(1),
+      flat(drift), flat(boundary, fill=1.0), flat(beta, fill=0.5),
+      flat(dc, fill=1.0), flat(act, fill=0.0))
+
+    steps = steps.reshape(-1)[:total].reshape(shape).astype(jnp.int32)
+    choice = choice.reshape(-1)[:total].reshape(shape).astype(jnp.int8)
+    # (n_record, rows, LANES) -> (*shape, n_record)
+    path = jnp.moveaxis(path.reshape(n_record, -1)[:, :total], 0, -1)
+    path = path.reshape(*shape, n_record)
+    return FirstPassage(steps=steps, choice=choice), path
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("shape", "dt", "max_steps", "block_rows", "bridge",

@@ -37,6 +37,20 @@ from ..parallel.mesh import DATA_AXIS, make_mesh
 
 Array = jax.Array
 
+# Coordinate-convention version stamped into checkpoint dirs.
+#   1: raw model coordinates (rounds 1-2)
+#   2: logit coordinates for bounded marginals + per-dataset min-rt ter
+#      bound (round 3)
+#   3: amortization in RAW prior coordinates for prior_transform specs +
+#      the min-rt bound applied to any ndt name incl. 'tau' (round 4).
+#      Identical to 2 for specs without prior_transform/tau, so round-3
+#      checkpoints of such specs are stamped 3 retroactively.
+CKPT_COORD_VERSION = 3
+
+
+class CheckpointCompatibilityError(RuntimeError):
+    """A checkpoint's coordinate convention does not match current code."""
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
@@ -265,16 +279,27 @@ class Trainer:
         return ocp.PyTreeCheckpointer()
 
     def save(self, state: State):
+        import json
         import os
         path = os.path.abspath(self.config.ckpt_dir)
         os.makedirs(path, exist_ok=True)
         self._ckptr().save(
             f"{path}/step_{int(state.step)}",
             jax.tree.map(np.asarray, state), force=True)
+        with open(f"{path}/meta.json", "w") as f:
+            json.dump({"coord_version": CKPT_COORD_VERSION,
+                       "model": self.spec.name,
+                       "param_names": list(self.spec.param_names)}, f)
 
     def maybe_restore(self, state: State) -> State:
         """Restore the newest checkpoint if one exists (the reference's
-        'Networks loaded from checkpoint/ckpt-1000' behavior)."""
+        'Networks loaded from checkpoint/ckpt-1000' behavior,
+        basic_ddm_dc.py:169-181). Refuses checkpoints written under a
+        different coordinate convention: restoring a raw-coordinate
+        (pre-round-3) or pre-raw-prior-amortization (pre-round-4) net
+        into current code silently produces garbage draws, so a missing
+        or mismatched version stamp raises instead of guessing."""
+        import json
         import os
         path = self.config.ckpt_dir
         if path is None or not os.path.isdir(path):
@@ -283,6 +308,25 @@ class Trainer:
                        if d.startswith("step_"))
         if not steps:
             return state
+        meta_path = os.path.join(path, "meta.json")
+        if not os.path.isfile(meta_path):
+            raise CheckpointCompatibilityError(
+                f"{path} has checkpoints but no meta.json version stamp. "
+                f"Checkpoints from before the coordinate-convention stamps "
+                f"(round-1/round-2 raw coordinates, pre-round-4 "
+                f"prior-transform or tau-ndt nets) are incompatible with "
+                f"current code; stamp known-good dirs with "
+                f"scripts/stamp_checkpoints_r5.py or retrain.")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("coord_version") != CKPT_COORD_VERSION:
+            raise CheckpointCompatibilityError(
+                f"{path}: coord_version {meta.get('coord_version')} != "
+                f"current {CKPT_COORD_VERSION}; retrain or quarantine.")
+        if meta.get("model") not in (None, self.spec.name):
+            raise CheckpointCompatibilityError(
+                f"{path} was trained for model {meta.get('model')!r}, "
+                f"not {self.spec.name!r}.")
         target = jax.tree.map(np.asarray, state)
         restored = self._ckptr().restore(
             os.path.abspath(f"{path}/step_{steps[-1]}"), item=target)

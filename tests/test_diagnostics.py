@@ -124,6 +124,23 @@ def test_sbc_uniform_for_calibrated_sampler():
     assert np.all(p_bad < 1e-6)
 
 
+def test_benjamini_hochberg_adjustment():
+    # textbook example: BH q-values are monotone step-up adjusted p's
+    p = np.array([0.01, 0.04, 0.03, 0.005, 0.5])
+    q = rec.benjamini_hochberg(p)
+    # q_(i) = min_{j>=i} p_(j) * m / j on sorted p's
+    expected_sorted = [0.025, 0.025, 0.05, 0.05, 0.5]
+    assert np.allclose(np.sort(q), expected_sorted)
+    # shape-preserving, order-consistent, capped at 1
+    assert q.shape == p.shape
+    assert np.argmin(q) == np.argmin(p) or q[np.argmin(p)] == q.min()
+    assert np.all(rec.benjamini_hochberg(np.ones((4, 3))) <= 1.0)
+    # uniform nulls: with m tests the min q concentrates well above alpha
+    rng = np.random.default_rng(7)
+    qs = rec.benjamini_hochberg(rng.uniform(size=200))
+    assert qs.min() > 0.05
+
+
 def test_contraction_identity_conjugate_gaussian():
     """Exact conjugate check of the calibrated-rho identity
     rho = sqrt(1 - E[post var]/prior var), plus the estimator-bound

@@ -53,6 +53,43 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(state3.step) == 30 and hist3["loss"] == []
 
 
+def test_checkpoint_version_guard(tmp_path):
+    """Stale checkpoints (no stamp / wrong version / wrong model) must
+    fail loudly instead of silently producing garbage draws (VERDICT r4
+    weak #4: round-1/2 raw-coordinate nets, pre-r4 prior-transform nets).
+    """
+    import json
+    import os
+    from bayesflow_nddms_tpu.train.trainer import (
+        CheckpointCompatibilityError)
+    spec = zoo.get_model("basic_ddm_dc")
+    cfg = _tiny_cfg(ckpt_dir=str(tmp_path / "ckpt"), ckpt_every=10,
+                    steps=10)
+    trainer = Trainer(spec, cfg, mesh=make_mesh(8))
+    trainer.train()
+    meta_path = os.path.join(cfg.ckpt_dir, "meta.json")
+    meta = json.load(open(meta_path))
+
+    # unstamped dir (legacy checkpoint) refuses
+    os.remove(meta_path)
+    with pytest.raises(CheckpointCompatibilityError, match="meta.json"):
+        trainer.maybe_restore(trainer.init())
+
+    # wrong coordinate version refuses
+    json.dump({**meta, "coord_version": 1}, open(meta_path, "w"))
+    with pytest.raises(CheckpointCompatibilityError, match="coord_version"):
+        trainer.maybe_restore(trainer.init())
+
+    # wrong model refuses
+    json.dump({**meta, "model": "basic_ddm"}, open(meta_path, "w"))
+    with pytest.raises(CheckpointCompatibilityError, match="basic_ddm"):
+        trainer.maybe_restore(trainer.init())
+
+    # correct stamp restores
+    json.dump(meta, open(meta_path, "w"))
+    assert int(trainer.maybe_restore(trainer.init()).step) == 10
+
+
 def test_replay_training_decreases_loss():
     """Experience-replay path (TrainConfig.replay_slots > 0): sharded ring
     buffers train end-to-end on the mesh (train_experience_replay parity,
