@@ -809,7 +809,8 @@ def _make_evidence_model(name="basic_ddm_dc_evidence", n_rec=200,
             jnp.broadcast_to(_col(th["alpha"]), shape),
             jnp.broadcast_to(_col(th["beta"]), shape),
             jnp.broadcast_to(_col(th["dc"]), shape))
-        if _use_pallas():
+        import os
+        if _use_pallas() and not os.environ.get("NDDMS_DISABLE_PATH_PALLAS"):
             # hardware-PRNG VMEM walk (same EM law, ~no threefry in the
             # 4,000-step hot loop) — the round-5 answer to the evidence
             # family's 35-65 min/model chip cost (VERDICT r4 weak #6)

@@ -30,6 +30,14 @@ if [ ! -f results/pallas_tpu_tests_r5.ok ]; then
   log "pallas tests rc=$? ($(tail -1 results/logs/pallas_tpu_tests_r5.log))"
 fi
 
+# If the path-kernel tests did not pass, train the evidence family on the
+# validated XLA path instead (slow but correct); the main Pallas kernel
+# (separately validated) stays on.
+if [ ! -f results/pallas_tpu_tests_r5.ok ]; then
+  log "path-kernel tests NOT green; disabling the path Pallas kernel"
+  export NDDMS_DISABLE_PATH_PALLAS=1
+fi
+
 # ---- 2. Evidence Pallas bench (speedup artifact) ------------------------
 if [ ! -f results/evidence_pallas_bench_r5.json ]; then
   log "evidence pallas bench"

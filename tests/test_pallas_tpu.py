@@ -143,12 +143,13 @@ def test_pallas_path_kernel_matches_xla():
     from bayesflow_nddms_tpu.ops.ddm_sim import first_passage_with_path
     shape = (512, 300)
     dt, max_steps, n_rec = 0.001, 4000, 200
-    args = (1.0, 1.5, 0.5, 1.0)
+    args = tuple(jnp.full(shape, v, jnp.float32)
+                 for v in (1.0, 1.5, 0.5, 1.0))
     fp_p, path_p = first_passage_with_path_pallas(
         jnp.int32(3), *args, shape=shape, dt=dt, max_steps=max_steps,
         n_record=n_rec)
     fp_x, path_x = first_passage_with_path(
-        jax.random.PRNGKey(3), *args, shape=shape, dt=dt,
+        jax.random.PRNGKey(3), *args, dt=dt,
         max_steps=max_steps, n_record=n_rec)
     assert path_p.shape == (*shape, n_rec) == path_x.shape
     # choice probability and RT moments (153.6k walks: MC sd ~1.3e-3)
