@@ -37,6 +37,22 @@ PY
   log "random refits rc=$?"
 fi
 
+# Independent-seed study replications from the SAME checkpoints for the
+# marginals flagged at 40k (dc2 precedent: a sub-.05 p that moves between
+# replications of one checkpoint is the n=2000 chi-square straddling its
+# detection threshold, not a persistent miscalibration)
+for m in basic_ddm_dc_evidence_no_noise2 single_trial_drift_dc_base; do
+  ck="trained/${m}_40k_r4"; [ -d "$ck" ] || ck="trained/${m}_40k_r5"
+  out="results/recovery_${m}_40k_seed7_r5.json"
+  if [ -f "$out" ] || [ ! -d "$ck" ]; then continue; fi
+  log "independent-seed study replication: $m ($ck)"
+  timeout 6000 python -m bayesflow_nddms_tpu.apps.recovery_study \
+    --model "$m" --steps 40000 --num-test 2000 --draws 1000 --seed 7 \
+    --ckpt-dir "$ck" --no-plots --out "$out" \
+    > "results/logs/queue_${m}_40k_seed7_r5.log" 2>&1
+  log "done $m seed7 rc=$?"
+done
+
 # 80k replication of the new model's persistent-but-small beta flag
 # (dc6 precedent: beta p recovered at 80k while the ~+2pt conservative
 # 50%-coverage stays — measured family trait, not a bug)
