@@ -68,6 +68,24 @@ if [ ! -f "results/recovery_${m}_80k_r5.json" ]; then
   log "done $m 80k rc=$?"
 fi
 
+# Standard-imputation artifact (timed out in lane A behind a concurrent
+# CPU pytest run starving the one-core host; retried on a quiet machine)
+if [ ! -f results/imputation_standard_r5.json ]; then
+  log "imputation through single_trial_alpha_standard (retry)"
+  timeout 3600 python - > results/logs/imputation_standard_r5.log 2>&1 <<'PY'
+import json
+from bayesflow_nddms_tpu.apps.imputation import main
+m = main(["--model", "single_trial_alpha_standard",
+          "--ckpt-dir", "trained/single_trial_alpha_standard_20k_r4",
+          "--draws", "1000", "--out",
+          "results/imputation_standard_r5.npz"])
+with open("results/imputation_standard_r5.json", "w") as f:
+    json.dump({"model": "single_trial_alpha_standard",
+               "imputation_recovery": m}, f, indent=2)
+PY
+  log "imputation standard rc=$?"
+fi
+
 log "zoo multiplicity re-pool"
 python scripts/zoo_multiplicity_r5.py \
   > results/logs/zoo_multiplicity_r5.log 2>&1
