@@ -48,7 +48,9 @@ def artifact_rank(path: str) -> tuple:
         else -1
     s = re.search(r"_(\d+)k_", base)
     steps = int(s.group(1)) if s else 0
-    return (rtag, steps)
+    t = re.search(r"_(\d+)x(\d+)_", base)
+    study = int(t.group(1)) if t else 0     # prefer reference-scale studies
+    return (rtag, steps, study)
 
 
 def find_artifact(model: str) -> str | None:
