@@ -76,13 +76,21 @@ _GEN_RANGES = {
     "single_trial_drift2": [
         (-3.0, 3.0), (0.8, 1.8), (0.3, 0.7), (0.15, 0.6), (0.3, 1.2),
         (0.8, 1.4), (0.5, 2.0)],
+    # round 5: trial drift AND trial dc, no covariates — exact backend =
+    # closed-form drift marginal + TN+ quadrature over trial dc
+    # (models.exact_loglik_ctx); params (mu_drift, alpha, beta, ter,
+    # eta, mu_dc, var_dc)
+    "single_trial_drift_dc_base": [
+        (-3.0, 3.0), (0.8, 1.8), (0.3, 0.7), (0.15, 0.6), (0.3, 1.2),
+        (0.8, 1.4), (0.3, 1.0)],
 }
 
 # models whose channel 0 is already the signed choicert (vs (rt, choice))
 _SIGNED_CH0 = {"single_trial_alpha_not_scaled", "single_trial_drift2"}
 
 # models fit exactly through the generic spec-driven batched targets
-_SPEC_PLAIN = {"basic_ddm_eta_dc", "single_trial_drift2"}
+_SPEC_PLAIN = {"basic_ddm_eta_dc", "single_trial_drift2",
+               "single_trial_drift_dc_base"}
 
 
 def main(argv=None):

@@ -46,7 +46,7 @@ DCDDM = "basic_ddm_dc"
 
 
 _EXACT_LL_MODELS = (DCDDM, FLAGSHIP, "basic_ddm_eta_dc",
-                    "single_trial_drift2")
+                    "single_trial_drift2", "single_trial_drift_dc_base")
 
 
 def _logw_kind(spec_or_name, flagship=None):
@@ -109,11 +109,12 @@ def amortized_logw(spec, trainer, state, draws, data, mask, log_n, *,
                 per(1), per(4), per(6), per(3), per(2), per(0), per(5),
                 u_nodes, log_w)                        # (B, c, N)
             return jnp.sum(jnp.where(in_mask[:, None, :], ll, 0.0), -1)
-    elif kind in ("basic_ddm_eta_dc", "single_trial_drift2"):
+    elif kind in ("basic_ddm_eta_dc", "single_trial_drift2",
+                  "single_trial_drift_dc_base"):
         # the shared exact-likelihood registry handles the per-trial sum
         # (capped-trial conventions included); broadcast draws over trials
         ctx, ll_fn = M.exact_loglik_ctx(kind, jnp.asarray(data),
-                                        jnp.asarray(mask))
+                                        jnp.asarray(mask), n_quad=n_quad)
         ctx_b = jax.tree.map(lambda x: x[:, None, :], ctx)
         P = draws.shape[-1]
 

@@ -570,7 +570,8 @@ def _spec_push_prior(spec):
     return push, prior_lp
 
 
-def exact_loglik_ctx(name: str, adata: Array, amask: Array):
+def exact_loglik_ctx(name: str, adata: Array, amask: Array,
+                     n_quad: int = 24):
     """Shared exact-likelihood registry over the amortizer data layout.
 
     ``adata (D, N_pad, C)`` / ``amask (D, N_pad)`` -> ``(ctx, ll_fn)``
@@ -588,7 +589,13 @@ def exact_loglik_ctx(name: str, adata: Array, amask: Array):
       * ``single_trial_drift2`` — joint (choicert, drift covariate)
         Gaussian-drift marginal (``wfpt.diffusion_eta_cov_logpdf``;
         capped trials keep their covariate evidence term, the flagship-
-        marginal convention).
+        marginal convention);
+      * ``single_trial_drift_dc_base`` — trial drifts integrated out in
+        closed form AND trial dc ~ TN+(mu_dc, var_dc) integrated by
+        ``n_quad``-node quantile-space Gauss-Legendre quadrature (the
+        flagship-marginal technique applied to the dc latent;
+        retired_models/single_trial_drift_dc_base.py never had ANY
+        exact backend).
     """
     if name in ("basic_ddm_dc", "basic_ddm_eta_dc"):
         rt, choice = adata[..., 0], adata[..., 1]
@@ -621,6 +628,35 @@ def exact_loglik_ctx(name: str, adata: Array, amask: Array):
                                           beta, mu_drift, eta, dc, sigma1,
                                           observed=c["observed"])
             return jnp.sum(jnp.where(c["pad"], ll, 0.0), axis=-1)
+        return ctx, ll_fn
+    if name == "single_trial_drift_dc_base":
+        from jax.scipy.special import logsumexp, ndtr, ndtri
+
+        from .wfpt import diffusion_eta_logpdf
+        rt, choice = adata[..., 0], adata[..., 1]
+        valid = amask & (choice != 0.0)
+        ctx = {"y": jnp.where(valid, rt * choice, 2.0), "valid": valid}
+        u_nodes, log_w = quadrature_rule(n_quad)
+
+        def ll_fn(th, c):
+            mu_drift, alpha, beta, ter, eta, mu_dc, var_dc = th
+            # E_{dc ~ TN+(mu_dc, var_dc)}[wfpt_eta]: quantile-space
+            # quadrature (var_dc is the SD, the reference's naming —
+            # single_trial_drift_dc_base.py:86-89). The TN+ density
+            # integrates to 1, so unlike the flagship there is no
+            # covariate-evidence log Z term.
+            sd = jnp.maximum(var_dc, 1e-4)
+            p_lo = ndtr(-mu_dc / sd)
+            pq = jnp.clip(p_lo[..., None] + u_nodes
+                          * (1.0 - p_lo[..., None]), 1e-7, 1.0 - 1e-7)
+            dck = jnp.maximum(
+                mu_dc[..., None] + sd[..., None] * ndtri(pq), 1e-4)
+            ll = diffusion_eta_logpdf(
+                c["y"][..., None], alpha[..., None], ter[..., None],
+                beta[..., None], mu_drift[..., None], eta[..., None],
+                dck)                                        # (..., K)
+            ll = logsumexp(ll + log_w, axis=-1)
+            return jnp.sum(jnp.where(c["valid"], ll, 0.0), axis=-1)
         return ctx, ll_fn
     raise ValueError(f"no exact likelihood registered for {name!r}")
 
